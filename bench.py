@@ -1,0 +1,66 @@
+"""Benchmark: slim_yolo_v2 batched detection throughput on one chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
+"vs_baseline": N}. Baseline target: 5000 images/sec/chip for INT8 @416²
+(BASELINE.md). Falls back to the fp32/bf16 path when the INT8 pipeline is
+unavailable.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def bench(batch: int = 64, size: int = 416, iters: int = 30,
+          warmup: int = 5):
+    import jax
+
+    from yolo_tpu.config import get_config
+    from yolo_tpu.detector import Detector
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(size, size))
+
+    try:
+        from yolo_tpu.quant.int8_graph import build_int8_detect
+        fn, params = build_int8_detect(cfg)
+        variant = "INT8"
+    except Exception:
+        det = Detector(cfg)
+        params = det.init_params(jax.random.PRNGKey(0))
+
+        def fn(params, images):
+            return det._detect(params, images)
+        fn = jax.jit(fn)
+        variant = "FP32"
+
+    images = np.random.default_rng(0).random(
+        (batch, size, size, 3), dtype=np.float32)
+    images = jax.device_put(images)
+
+    # NOTE: under the axon TPU tunnel block_until_ready can return before
+    # execution completes; jax.device_get of the outputs is the reliable
+    # synchronization point, so we time through a final device_get.
+    for _ in range(warmup):
+        jax.device_get(fn(params, images))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, images)
+    jax.device_get(out)
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    print(json.dumps({
+        "metric": f"images/sec/chip (slim_yolo_v2 {variant} @{size}²,"
+                  f" batch {batch}, in-graph NMS)",
+        "value": round(ips, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / 5000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    bench()

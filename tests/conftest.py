@@ -1,0 +1,19 @@
+"""Test config: force a virtual 8-device CPU platform so sharding tests
+run anywhere (the driver validates real-TPU paths separately)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,91 @@
+"""Training-step tests: loss decreases, LR schedule parity, multi-device
+data-parallel step on the virtual 8-CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from yolo_tpu.config import get_config
+from yolo_tpu.detector import Detector
+from yolo_tpu.parallel import make_mesh, shard_batch, shard_params
+from yolo_tpu.train.targets import build_targets
+from yolo_tpu.train.trainer import (
+    TrainConfig, lr_at, make_train_step, multi_scale_sizes)
+
+
+def _tiny_setup(batch=2):
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(64, 64))
+    det = Detector(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    images = rng.random((batch, 64, 64, 3), dtype=np.float32)
+    labels = [np.array([[0.2, 0.2, 0.7, 0.8, 1.0]])] * batch
+    gt = build_targets(cfg, labels)
+    return det, params, images, gt
+
+
+def test_train_step_decreases_loss():
+    det, params, images, gt = _tiny_setup()
+    tc = TrainConfig(base_lr=1e-4)
+    opt, step = make_train_step(det.module, det.cfg, tc, donate=False)
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(10):
+        params, opt_state, metrics = step(params, opt_state, images, gt,
+                                          1e-4)
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_on_mesh():
+    mesh = make_mesh()  # 8 virtual CPU devices on 'data'
+    det, params, images, gt = _tiny_setup(batch=8)
+    tc = TrainConfig()
+    opt, step = make_train_step(det.module, det.cfg, tc, mesh=mesh,
+                                donate=False)
+    params = shard_params(mesh, params)
+    opt_state = shard_params(mesh, opt.init(params))
+    images = shard_batch(mesh, images)
+    gt = shard_batch(mesh, gt)
+    params2, opt_state, metrics = step(params, opt_state, images, gt, 1e-3)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    # data-parallel result == single-device result (same global batch)
+    opt1, step1 = make_train_step(det.module, det.cfg, tc, donate=False)
+    params_ref = jax.device_get(params)
+    p1, _, m1 = step1(params_ref, opt1.init(params_ref),
+                      jax.device_get(images), jax.device_get(gt), 1e-3)
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(metrics["total_loss"]), rtol=1e-4)
+    a = jax.tree_util.tree_leaves(jax.device_get(params2))
+    b = jax.tree_util.tree_leaves(p1)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_lr_schedule_matches_reference_semantics():
+    tc = TrainConfig(base_lr=1e-3, wp_epoch=2, lr_epoch=(150, 200),
+                     max_epoch=260)
+    epoch_size = 100
+    # quartic warmup (reference train.py:273-281)
+    assert lr_at(tc, 0, 0, epoch_size) == 0.0
+    np.testing.assert_allclose(
+        lr_at(tc, 1, 50, epoch_size), 1e-3 * (150 / 200) ** 4)
+    # steps at 150 / 200 (reference train.py:255-263)
+    assert lr_at(tc, 100, 0, epoch_size) == 1e-3
+    np.testing.assert_allclose(lr_at(tc, 150, 0, epoch_size), 1e-4)
+    np.testing.assert_allclose(lr_at(tc, 210, 0, epoch_size), 1e-5)
+    # cosine (applies after warmup; reference train.py:264-268)
+    tcc = TrainConfig(cos=True)
+    import math
+    want = 0.00001 + 0.5 * (1e-3 - 0.00001) * (1 + math.cos(
+        math.pi * 10 / 260))
+    np.testing.assert_allclose(lr_at(tcc, 10, 0, epoch_size), want)
+
+
+def test_multi_scale_sizes():
+    sizes = multi_scale_sizes()
+    assert sizes[0] == (320, 320) and sizes[-1] == (608, 608)
+    assert all(h % 32 == 0 for h, _ in sizes)

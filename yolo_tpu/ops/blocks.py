@@ -1,0 +1,256 @@
+"""Core conv building blocks, NHWC / HWIO, as pure functions.
+
+TPU-native equivalents of the reference's nn.Module blocks
+(reference utils/modules.py:6-72):
+
+- ``conv_block`` = Conv + BatchNorm + LeakyReLU(slope) fused at trace time
+  (the BN is algebraically folded into a scale/offset on the conv output in
+  inference form; training form keeps running stats explicitly in the
+  parameter pytree — there is no module state in JAX).
+- ``reorg`` = space-to-depth passthrough layer (utils/modules.py:43-57).
+- ``spp``  = 5/9/13 max-pool pyramid concat (utils/modules.py:59-72).
+
+Layout: activations are NHWC (TPU-preferred), weights are HWIO. The
+reference is NCHW/OIHW torch; the checkpoint loader transposes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# LeakyReLU slope used by every model-level conv block. 0.125 = 2^-3 so the
+# FPGA implements it as an arithmetic right-shift by 3
+# (reference utils/modules.py:14, c_embedding conv act path).
+MODEL_LEAKY_SLOPE = 0.125
+# Backbone (darknet) blocks use torch's default 0.1 slope
+# (reference backbone/darknet.py:12-22).
+BACKBONE_LEAKY_SLOPE = 0.1
+
+_BN_EPS = 1e-5
+
+
+def leaky_relu(x, slope=MODEL_LEAKY_SLOPE):
+    return jnp.where(x >= 0, x, x * slope)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (matches torch nn.Conv2d defaults: kaiming_uniform(a=√5)
+# for weights, uniform(±1/√fan_in) for bias) so FP32 training from scratch
+# behaves like the reference.
+# ---------------------------------------------------------------------------
+
+
+def init_conv(rng, ksize: int, c_in: int, c_out: int, bias: bool = True,
+              dtype=jnp.float32):
+    """Init a conv layer param dict: {'w': HWIO[, 'b': O]}."""
+    k_w, k_b = jax.random.split(rng)
+    fan_in = c_in * ksize * ksize
+    gain = math.sqrt(2.0 / (1 + 5.0))  # kaiming_uniform(a=sqrt(5))
+    bound = gain * math.sqrt(3.0 / fan_in)
+    w = jax.random.uniform(
+        k_w, (ksize, ksize, c_in, c_out), dtype, -bound, bound)
+    params = {"w": w}
+    if bias:
+        b_bound = 1.0 / math.sqrt(fan_in)
+        params["b"] = jax.random.uniform(
+            k_b, (c_out,), dtype, -b_bound, b_bound)
+    return params
+
+
+def init_conv_block(rng, ksize: int, c_in: int, c_out: int,
+                    batch_norm: bool = True, dtype=jnp.float32):
+    """Init a Conv(+BN) block. With BN the conv has no bias and the block
+    carries BN affine params + running stats (gamma/beta/mean/var)."""
+    p = init_conv(rng, ksize, c_in, c_out, bias=not batch_norm, dtype=dtype)
+    if batch_norm:
+        p["bn"] = {
+            "gamma": jnp.ones((c_out,), dtype),
+            "beta": jnp.zeros((c_out,), dtype),
+            "mean": jnp.zeros((c_out,), dtype),
+            "var": jnp.ones((c_out,), dtype),
+        }
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Forward ops.
+# ---------------------------------------------------------------------------
+
+
+def conv2d(x, w, b=None, stride: int = 1, padding: int = 0,
+           dilation: int = 1, preferred_element_type=None,
+           precision="highest"):
+    """Plain 2D conv, NHWC x HWIO -> NHWC.
+
+    ``precision='highest'`` keeps f32 inputs in true f32 (JAX's default
+    would round through bf16). Low-precision *speed* comes from feeding
+    actual bf16/int8 operands, never from silently degraded f32.
+    """
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred_element_type,
+        precision=precision,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def batch_norm_inference(x, bn):
+    """Inference-mode BN using running stats (what eval/quantization see)."""
+    inv = jax.lax.rsqrt(bn["var"].astype(jnp.float32) + _BN_EPS)
+    scale = (bn["gamma"] * inv).astype(x.dtype)
+    offset = (bn["beta"] - bn["gamma"] * bn["mean"] * inv).astype(x.dtype)
+    return x * scale + offset
+
+
+def batch_norm_train(x, bn, momentum: float = 0.1):
+    """Training-mode BN over (N, H, W). Returns (y, new_running_stats).
+
+    Running stats update matches torch BatchNorm2d: EMA with ``momentum`` on
+    the *new* value and unbiased variance for the running estimate.
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(0, 1, 2))
+    var = jnp.var(x32, axis=(0, 1, 2))
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    unbiased_var = var * (n / max(n - 1, 1))
+    inv = jax.lax.rsqrt(var + _BN_EPS)
+    y = (x32 - mean) * inv * bn["gamma"] + bn["beta"]
+    new_bn = dict(
+        bn,
+        mean=(1 - momentum) * bn["mean"] + momentum * mean,
+        var=(1 - momentum) * bn["var"] + momentum * unbiased_var,
+    )
+    return y.astype(x.dtype), new_bn
+
+
+def conv_block(params, x, stride: int = 1, padding: int = 0,
+               slope: float = MODEL_LEAKY_SLOPE, train: bool = False):
+    """Conv(+BN)+LeakyReLU block (reference utils/modules.py Conv2d /
+    Conv2d_fuse). If the param dict has a 'bn' entry, BN runs; otherwise a
+    plain biased conv (the BN-fused form). ``slope=None`` → ReLU.
+
+    Returns y in inference mode, (y, new_params) in train mode with BN.
+    """
+    y = conv2d(x, params["w"], params.get("b"), stride=stride,
+               padding=padding)
+    new_params = None
+    if "bn" in params:
+        if train:
+            y, new_bn = batch_norm_train(y, params["bn"])
+            new_params = dict(params, bn=new_bn)
+        else:
+            y = batch_norm_inference(y, params["bn"])
+    if slope is None:
+        y = jnp.maximum(y, 0.0)
+    else:
+        y = leaky_relu(y, slope)
+    if train:
+        return y, (new_params if new_params is not None else params)
+    return y
+
+
+def max_pool(x, window: int = 2, stride: int = 2, padding: int = 0):
+    """Max pool, NHWC. Matches torch MaxPool2d (floor mode, -inf pad)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+        else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+
+
+def reorg(x, stride: int = 2):
+    """Space-to-depth passthrough layer.
+
+    Matches the exact channel ordering of the reference implementation
+    (utils/modules.py:43-57): output channel blocks are ordered by the
+    (row, col) position inside each stride x stride window, with the
+    original channels contiguous inside each block — i.e. NCHW
+    ``[B, s*s, C, H/s, W/s]`` flattened, which in NHWC is a transpose of
+    jnp's native space_to_depth ordering.
+    """
+    b, h, w, c = x.shape
+    s = stride
+    x = x.reshape(b, h // s, s, w // s, s, c)
+    # -> [B, H/s, W/s, s(row), s(col), C] -> channels = (row, col, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // s, w // s, s * s * c)
+
+
+def spp(x):
+    """Spatial pyramid pooling: concat [x, mp5(x), mp9(x), mp13(x)] on C
+    (reference utils/modules.py:59-72)."""
+    x1 = max_pool(x, 5, 1, 2)
+    x2 = max_pool(x, 9, 1, 4)
+    x3 = max_pool(x, 13, 1, 6)
+    return jnp.concatenate([x, x1, x2, x3], axis=-1)
+
+
+def upsample2x(x):
+    """2x bilinear upsample, half-pixel centers (align_corners=False)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+
+
+def _align_corners_weights(n_in: int, n_out: int):
+    """Interpolation (lo index, hi index, frac) for align_corners=True."""
+    if n_in == 1:
+        src = np.zeros(n_out)
+    else:
+        src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    lo = np.floor(src).astype(np.int32)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (src - lo).astype(np.float32)
+    return lo, hi, frac
+
+
+def upsample2x_align_corners(x):
+    """2x bilinear upsample with align_corners=True, matching the
+    reference FPN upsamples (F.interpolate(..., align_corners=True),
+    models/yolo_v3.py:211-215, models/tiny_yolo_v3.py:188).
+
+    Separable 1D interpolation with static gather indices (trace-time
+    constants), so XLA lowers it to two cheap fused gathers.
+    """
+    b, h, w, c = x.shape
+    lo_h, hi_h, f_h = _align_corners_weights(h, 2 * h)
+    lo_w, hi_w, f_w = _align_corners_weights(w, 2 * w)
+    f_h = jnp.asarray(f_h)[None, :, None, None].astype(x.dtype)
+    f_w = jnp.asarray(f_w)[None, None, :, None].astype(x.dtype)
+    x = x[:, lo_h] * (1 - f_h) + x[:, hi_h] * f_h
+    x = x[:, :, lo_w] * (1 - f_w) + x[:, :, hi_w] * f_w
+    return x
+
+
+def zero_pad_maxpool_s1(x):
+    """ZeroPad2d((0,1,0,1)) + MaxPool2d(2, stride=1) — the tiny-yolov3
+    backbone's last pool (reference backbone/darknet.py:232-235).
+
+    Note: zero padding (not -inf) exactly as the reference does it.
+    """
+    x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    return max_pool(x, 2, 1, 0)
+
+
+def flatten_grid(pred: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H*W, C] (the reference's permute+view,
+    models/slim_yolo_v2.py:333)."""
+    b, h, w, c = pred.shape
+    return pred.reshape(b, h * w, c)
+
+
+def count_params(params) -> int:
+    return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)))

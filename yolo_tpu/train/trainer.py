@@ -1,0 +1,123 @@
+"""Training driver: optax SGD + reference LR schedules + sharded step.
+
+Replaces the reference train.py loop (train.py:240-361): SGD with
+momentum 0.9 / weight decay 5e-4 (torch-style coupled decay), quartic
+warmup, step or cosine schedule, multi-scale re-gridding by shape bucket.
+
+The train step is a single jitted SPMD program over a ('data', 'space')
+mesh: images/targets sharded on batch, params replicated, gradient psum
+inserted by XLA.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from yolo_tpu import detector as det
+from yolo_tpu.config import DetectorConfig, TRAIN_CFG
+from yolo_tpu.train.loss import yolo_loss
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    base_lr: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    wp_epoch: int = 2              # warmup epochs (reference train.py:47)
+    max_epoch: int = TRAIN_CFG["max_epoch"]
+    lr_epoch: Tuple[int, ...] = TRAIN_CFG["lr_epoch"]
+    cos: bool = False
+    obj_loss_f: str = "mse"
+
+
+def lr_at(tc: TrainConfig, epoch: int, iteration: int,
+          epoch_size: int) -> float:
+    """Learning rate for (epoch, iter): quartic warmup then step/cosine
+    (reference train.py:255-281)."""
+    if epoch < tc.wp_epoch:
+        total = iteration + epoch * epoch_size
+        return tc.base_lr * math.pow(total / (tc.wp_epoch * epoch_size), 4)
+    if tc.cos:
+        t, T = epoch, tc.max_epoch
+        return 0.00001 + 0.5 * (tc.base_lr - 0.00001) * (
+            1 + math.cos(math.pi * t / T))
+    lr = tc.base_lr
+    for step_epoch in tc.lr_epoch:
+        if epoch >= step_epoch:
+            lr *= 0.1
+    return lr
+
+
+def make_optimizer(tc: TrainConfig):
+    """SGD + momentum with torch-style (coupled) weight decay. The LR is
+    injected per-step via optax.inject_hyperparams so schedules stay in
+    Python like the reference loop."""
+    opt = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.add_decayed_weights(tc.weight_decay),
+            optax.sgd(learning_rate, momentum=tc.momentum, nesterov=False),
+        ))(learning_rate=tc.base_lr)
+    return opt
+
+
+def loss_fn(module, cfg: DetectorConfig, tc: TrainConfig, params, images,
+            gt_tensor):
+    (conf, cls, txt, boxes_norm), new_params = det.train_outputs(
+        module, params, images, cfg)
+    conf_l, cls_l, box_l, total = yolo_loss(
+        conf, cls, txt, boxes_norm, gt_tensor, cfg.num_classes,
+        obj_loss_f=tc.obj_loss_f)
+    aux = {"conf_loss": conf_l, "cls_loss": cls_l, "txtytwth_loss": box_l,
+           "new_params": new_params}
+    return total, aux
+
+
+def make_train_step(module, cfg: DetectorConfig, tc: TrainConfig,
+                    mesh=None, donate: bool = True):
+    """Build the jitted train step:
+    (params, opt_state, images, gt, lr) -> (params, opt_state, metrics).
+
+    With a mesh, inputs are expected batch-sharded on the 'data' axis and
+    params replicated; XLA inserts the gradient all-reduce.
+    """
+    opt = make_optimizer(tc)
+
+    def step(params, opt_state, images, gt_tensor, lr):
+        grad_fn = jax.value_and_grad(
+            partial(loss_fn, module, cfg, tc), has_aux=True)
+        (total, aux), grads = grad_fn(params, images, gt_tensor)
+        # BN running stats come from the forward, not the gradient.
+        new_params = aux.pop("new_params")
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = opt.update(grads, opt_state, new_params)
+        params = optax.apply_updates(new_params, updates)
+        metrics = dict(aux, total_loss=total)
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return opt, jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    jit_step = jax.jit(
+        step,
+        in_shardings=(repl, repl, batch_sh, batch_sh, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1) if donate else (),
+    )
+    return opt, jit_step
+
+
+def multi_scale_sizes(stride_mult: int = 32, low: int = 10, high: int = 19):
+    """The reference multi-scale bucket list: random size in
+    [10, 19] * 32 every 10 iterations (train.py:287-294)."""
+    return [(s * stride_mult, s * stride_mult) for s in range(low, high + 1)]
