@@ -1,0 +1,113 @@
+"""Data layer tests: transforms, VOC XML parsing, synthetic dataset,
+batch loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from yolo_tpu.config import BGR_MEAN, BGR_STD
+from yolo_tpu.data import (
+    BaseTransform, BatchLoader, SSDAugmentation, SyntheticDetection)
+from yolo_tpu.data.loader import detection_collate
+from yolo_tpu.data.voc import VOCDetection, parse_voc_annotation
+
+
+def test_base_transform_normalization(rng):
+    img = (rng.random((60, 80, 3)) * 255).astype(np.uint8)
+    t = BaseTransform((30, 40), rgb=False)
+    x, _, _ = t(img)
+    assert x.shape == (30, 40, 3)
+    # spot-check the normalization formula on a constant image
+    const = np.full((10, 10, 3), 128, np.uint8)
+    x2, _, _ = BaseTransform((10, 10), rgb=False)(const)
+    want = (128 / 255.0 - np.asarray(BGR_MEAN)) / np.asarray(BGR_STD)
+    np.testing.assert_allclose(x2[0, 0], want, rtol=1e-5)
+
+
+def test_base_transform_rgb_flip():
+    const = np.zeros((4, 4, 3), np.uint8)
+    const[..., 0] = 255  # blue channel (BGR)
+    x, _, _ = BaseTransform((4, 4), rgb=True)(const)
+    # after flip, blue should be the LAST channel
+    assert x[0, 0, 2] > x[0, 0, 0]
+
+
+def test_ssd_augmentation_output_valid(rng):
+    aug = SSDAugmentation((64, 64), seed=0)
+    img = (rng.random((100, 120, 3)) * 255).astype(np.uint8)
+    boxes = np.array([[0.1, 0.2, 0.6, 0.7], [0.3, 0.3, 0.9, 0.9]])
+    labels = np.array([0, 1])
+    for _ in range(20):  # exercise the random branches
+        im, bx, lb = aug(img, boxes, labels)
+        assert im.shape == (64, 64, 3)
+        assert im.dtype == np.float32
+        assert len(bx) == len(lb) >= 1
+        assert (bx[:, 2:] >= bx[:, :2] - 1e-6).all()
+
+
+def test_voc_xml_parsing(tmp_path):
+    xml = """<annotation>
+      <object><name>face</name><difficult>0</difficult>
+        <bndbox><xmin>11</xmin><ymin>21</ymin><xmax>51</xmax><ymax>81</ymax>
+        </bndbox></object>
+      <object><name>face_mask</name><difficult>1</difficult>
+        <bndbox><xmin>1</xmin><ymin>1</ymin><xmax>9</xmax><ymax>9</ymax>
+        </bndbox></object>
+    </annotation>"""
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(xml)
+    res = parse_voc_annotation(root, 100, 200, {"face": 0, "face_mask": 1})
+    # difficult object dropped; coords are (v-1)/size
+    assert len(res) == 1
+    np.testing.assert_allclose(res[0], [0.10, 0.10, 0.50, 0.40, 0])
+    res2 = parse_voc_annotation(root, 100, 200,
+                                {"face": 0, "face_mask": 1},
+                                keep_difficult=True)
+    assert len(res2) == 2
+
+
+def test_voc_dataset_from_tree(tmp_path):
+    """Build a minimal VOC-format tree and load it."""
+    import cv2
+    root = tmp_path / "Mask"
+    (root / "Annotations").mkdir(parents=True)
+    (root / "JPEGImages").mkdir()
+    (root / "ImageSets" / "Main").mkdir(parents=True)
+    img = np.zeros((50, 60, 3), np.uint8)
+    cv2.imwrite(str(root / "JPEGImages" / "img1.jpg"), img)
+    (root / "Annotations" / "img1.xml").write_text(
+        "<annotation><object><name>face</name><difficult>0</difficult>"
+        "<bndbox><xmin>11</xmin><ymin>11</ymin><xmax>31</xmax>"
+        "<ymax>41</ymax></bndbox></object></annotation>")
+    (root / "ImageSets" / "Main" / "train.txt").write_text("img1\n")
+
+    ds = VOCDetection.mask(str(tmp_path), "train",
+                           transform=BaseTransform((32, 32)))
+    assert len(ds) == 1
+    im, target, h, w = ds.pull_item(0)
+    assert im.shape == (32, 32, 3)
+    assert (h, w) == (50, 60)
+    assert target.shape == (1, 5)
+    img_id, anno = ds.pull_anno(0)
+    assert img_id == "img1"
+
+
+def test_synthetic_deterministic():
+    ds = SyntheticDetection(size=(32, 32), length=4, seed=7)
+    a1 = ds.pull_item(2)
+    a2 = ds.pull_item(2)
+    np.testing.assert_array_equal(a1[0], a2[0])
+    np.testing.assert_array_equal(a1[1], a2[1])
+
+
+def test_batch_loader():
+    ds = SyntheticDetection(size=(32, 32), length=10,
+                            transform=BaseTransform((32, 32)))
+    loader = BatchLoader(ds, batch_size=4, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2  # drop_last
+    images, targets = batches[0]
+    assert images.shape == (4, 32, 32, 3)
+    assert len(targets) == 4
+    assert all(t.shape[1] == 5 for t in targets)

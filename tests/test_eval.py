@@ -1,0 +1,84 @@
+"""VOC mAP evaluation tests."""
+
+import numpy as np
+
+from yolo_tpu.eval.voc_eval import VOCEvaluator, voc_ap, voc_eval_class
+
+
+def test_voc_ap_perfect():
+    rec = np.array([0.5, 1.0])
+    prec = np.array([1.0, 1.0])
+    np.testing.assert_allclose(voc_ap(rec, prec, use_07_metric=True), 1.0)
+    np.testing.assert_allclose(voc_ap(rec, prec, use_07_metric=False), 1.0)
+
+
+def test_voc_ap_partial():
+    # one TP then one FP over 2 GT: recall caps at 0.5
+    rec = np.array([0.5, 0.5])
+    prec = np.array([1.0, 0.5])
+    ap07 = voc_ap(rec, prec, use_07_metric=True)
+    np.testing.assert_allclose(ap07, 6 / 11, rtol=1e-6)  # t=0..0.5 get p=1
+
+
+def test_voc_eval_class_perfect_detections():
+    gts = [np.array([[10, 10, 50, 50], [60, 60, 90, 90]]),
+           np.array([[0, 0, 20, 20]])]
+    dets = [np.array([[10, 10, 50, 50, 0.9], [60, 60, 90, 90, 0.8]]),
+            np.array([[0, 0, 20, 20, 0.95]])]
+    ap = voc_eval_class(dets, gts)
+    np.testing.assert_allclose(ap, 1.0)
+
+
+def test_voc_eval_class_duplicate_is_fp():
+    gts = [np.array([[10, 10, 50, 50]])]
+    dets = [np.array([[10, 10, 50, 50, 0.9], [11, 11, 50, 50, 0.8]])]
+    ap = voc_eval_class(dets, gts)
+    assert 0.9 < ap <= 1.0 + 1e-9  # duplicate is FP but recall hits 1 first
+
+
+def test_voc_eval_class_miss():
+    gts = [np.array([[10, 10, 50, 50]])]
+    dets = [np.array([[100, 100, 150, 150, 0.9]])]
+    assert voc_eval_class(dets, gts) == 0.0
+
+
+def test_voc_eval_difficult_ignored():
+    gts = [np.array([[10, 10, 50, 50], [60, 60, 90, 90]])]
+    difficult = [np.array([False, True])]
+    dets = [np.array([[10, 10, 50, 50, 0.9], [60, 60, 90, 90, 0.8]])]
+    # difficult GT: detection on it is ignored (not FP), npos excludes it
+    ap = voc_eval_class(dets, gts, difficult)
+    np.testing.assert_allclose(ap, 1.0)
+
+
+def test_evaluator_with_oracle_detector():
+    """A detector that returns the GT boxes scores mAP ~ 1."""
+    from yolo_tpu.data import BaseTransform, SyntheticDetection
+
+    ds = SyntheticDetection(size=(32, 32), num_classes=2, length=8,
+                            transform=BaseTransform((32, 32)))
+    ev = VOCEvaluator(ds, num_classes=2, input_size=(32, 32), batch_size=4)
+
+    # oracle: look up GT for the images in each batch (sequential order)
+    state = {"next": 0}
+
+    def oracle(images):
+        b = len(images)
+        k = 8
+        boxes = np.zeros((b, k, 4), np.float32)
+        scores = np.zeros((b, k), np.float32)
+        classes = np.full((b, k), -1, np.int32)
+        valid = np.zeros((b, k), bool)
+        for bi in range(b):
+            _, t, _, _ = ds.pull_item(state["next"] + bi)
+            t = np.asarray(t).reshape(-1, 5)
+            for j, row in enumerate(t[:k]):
+                boxes[bi, j] = row[:4]
+                scores[bi, j] = 0.9
+                classes[bi, j] = int(row[4])
+                valid[bi, j] = True
+        state["next"] += b
+        return boxes, scores, classes, valid
+
+    mean_ap = ev.evaluate(oracle)
+    assert mean_ap > 0.99

@@ -1,0 +1,159 @@
+"""Compression-pipeline entry point: the reference's four scripts
+(conv+bn2conv.py, retune_bias_quantize.py, retune_bias_quantize.py -q,
+retune_bias_quantize_findbest.py) as subcommands of one driver.
+
+python -m yolo_tpu.cli.quantize bnfold  -d synthetic -r ckpt.msgpack
+python -m yolo_tpu.cli.quantize retune  -d synthetic -r fused.msgpack
+python -m yolo_tpu.cli.quantize ptq     -d synthetic -r fused.msgpack
+python -m yolo_tpu.cli.quantize findbest -d synthetic -r fused.msgpack
+python -m yolo_tpu.cli.quantize export  -d synthetic -r fused.msgpack \\
+    --header weight.h
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from yolo_tpu.cli.common import add_common_args, build_cfg, build_dataset
+from yolo_tpu.detector import Detector
+from yolo_tpu.eval.voc_eval import VOCEvaluator
+from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="yolo_tpu compression")
+    parser.add_argument("stage", choices=["bnfold", "retune", "ptq",
+                                          "findbest", "export"])
+    add_common_args(parser)
+    parser.add_argument("-r", "--resume", required=False, default=None,
+                        help="input checkpoint (.msgpack or .pth)")
+    parser.add_argument("--out", default=None, help="output checkpoint")
+    parser.add_argument("--header", default="weight.h",
+                        help="C header path for export")
+    parser.add_argument("--calib_images", type=int, default=1000)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--lr", type=float, default=1e-7)
+    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--no_eval", action="store_true", default=False)
+    return parser.parse_args(argv)
+
+
+def _load(args, det):
+    if args.resume is None:
+        return det.init_params(jax.random.PRNGKey(0))
+    if args.resume.endswith(".pth"):
+        from yolo_tpu.utils.checkpoint import load_torch_slim_yolo_v2
+        params, _ = load_torch_slim_yolo_v2(
+            args.resume, fused=args.version.endswith("_q_bf"))
+        return params
+    params, _ = load_checkpoint(args.resume)
+    return params
+
+
+def _calib_batches(args, cfg):
+    dataset = build_dataset(args, cfg, train=False)
+    batches, seen = [], 0
+    for start in range(0, len(dataset), args.batch_size):
+        idx = range(start, min(start + args.batch_size, len(dataset)))
+        batches.append(np.stack(
+            [dataset.pull_item(i)[0] for i in idx]).astype(np.float32))
+        seen += len(batches[-1])
+        if seen > args.calib_images:
+            break
+    return batches
+
+
+def _maybe_eval(args, cfg, detect_fn, label):
+    if args.no_eval:
+        return None
+    dataset = build_dataset(args, cfg, train=False)
+    ev = VOCEvaluator(dataset, cfg.num_classes, cfg.input_size,
+                      batch_size=args.batch_size)
+    mean_ap = ev.evaluate(detect_fn)
+    print(f"[{label}] mAP = {mean_ap:.4f}")
+    return mean_ap
+
+
+def main(args=None):
+    args = args or parse_args()
+    cfg = build_cfg(args)
+
+    if args.stage == "bnfold":
+        from yolo_tpu.quant.bn_fold import fold_batch_norm
+        det = Detector(cfg, batch_norm=True)
+        params = _load(args, det)
+        fused = fold_batch_norm(params)
+        det_f = Detector(cfg, batch_norm=False)
+        _maybe_eval(args, cfg, lambda im: det_f.detect(fused, im), "bnfold")
+        out = args.out or (args.resume or "model").replace(
+            ".msgpack", "") + "_bnfuse.msgpack"
+        save_checkpoint(out, fused)
+        print(f"saved {out}")
+        return fused
+
+    det = Detector(cfg, batch_norm=False)
+    params = _load(args, det)
+
+    if args.stage == "retune":
+        from yolo_tpu.data.loader import BatchLoader
+        from yolo_tpu.quant.retune import retune_finetune
+        from yolo_tpu.train.targets import build_targets
+        dataset = build_dataset(args, cfg, train=True)
+        loader = BatchLoader(dataset, args.batch_size)
+
+        def batches():
+            while True:
+                for images, targets in loader:
+                    yield images, build_targets(cfg, targets)
+
+        params, metrics = retune_finetune(det, params, batches(),
+                                          base_lr=args.lr, steps=args.steps)
+        _maybe_eval(args, cfg, lambda im: det.detect(params, im), "retune")
+        out = args.out or (args.resume or "model").replace(
+            ".msgpack", "") + "_retune.msgpack"
+        save_checkpoint(out, params)
+        print(f"saved {out}")
+        return params
+
+    # ptq / findbest / export share the calibration pipeline
+    from yolo_tpu.quant import qsim
+    from yolo_tpu.quant.int8_graph import (
+        make_int8_detect_fn, quantize_pipeline)
+    from yolo_tpu.quant.retune import export_c_header, export_tables
+
+    batches = _calib_batches(args, cfg)
+    m = quantize_pipeline(params, cfg, batches, fold_bn=False,
+                          max_images=args.calib_images)
+    tables = export_tables(m)
+    print("scale_w:", tables["scale_w"])
+    print("scale_b:", tables["scale_b"])
+    print("scale_a:", tables["scale_a"])
+    print("retune :", tables["retune"])
+
+    if args.stage == "findbest":
+        return tables
+
+    if args.stage == "export":
+        export_c_header(m, args.header)
+        print(f"wrote {args.header}")
+        return m
+
+    # ptq: evaluate the quantized model
+    detect = make_int8_detect_fn(m, cfg)
+    _maybe_eval(args, cfg,
+                lambda im: detect(np.asarray(im, np.float32)), "ptq-int8")
+    out = args.out or (args.resume or "model").replace(
+        ".msgpack", "") + "_retune_quantize.msgpack"
+    save_checkpoint(out, {
+        "w_q": m.w_q, "b_q": m.b_q,
+        "tables": {k: np.asarray(v) for k, v in tables.items()},
+    })
+    print(f"saved {out}")
+    return m
+
+
+if __name__ == "__main__":
+    main()

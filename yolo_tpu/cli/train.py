@@ -1,0 +1,117 @@
+"""Training entry point (reference train.py equivalent).
+
+python -m yolo_tpu.cli.train -v slim_yolo_v2 -d synthetic --max_epoch 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from yolo_tpu.cli.common import add_common_args, build_cfg, build_dataset
+from yolo_tpu.data.loader import BatchLoader
+from yolo_tpu.detector import Detector
+from yolo_tpu.eval.voc_eval import VOCEvaluator
+from yolo_tpu.parallel import make_mesh, shard_batch, shard_params
+from yolo_tpu.train.targets import build_targets
+from yolo_tpu.train.trainer import (
+    TrainConfig, lr_at, make_train_step, multi_scale_sizes)
+from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="yolo_tpu training")
+    add_common_args(parser)
+    parser.add_argument("-b", "--batch_size", type=int, default=32)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--wp_epoch", type=int, default=2)
+    parser.add_argument("--start_epoch", type=int, default=0)
+    parser.add_argument("--max_epoch", type=int, default=260)
+    parser.add_argument("-r", "--resume", default=None,
+                        help="checkpoint to resume from")
+    parser.add_argument("-ms", "--multi_scale", action="store_true",
+                        default=False)
+    parser.add_argument("--cos", action="store_true", default=False)
+    parser.add_argument("--eval_epoch", type=int, default=10)
+    parser.add_argument("--save_folder", default="weights/")
+    parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--mesh_data", type=int, default=None,
+                        help="data-parallel mesh size (default: all devices)")
+    parser.add_argument("--debug", action="store_true", default=False)
+    return parser.parse_args(argv)
+
+
+def train(args=None):
+    args = args or parse_args()
+    cfg = build_cfg(args)
+    det = Detector(cfg)
+
+    save_dir = os.path.join(args.save_folder, args.dataset, args.version)
+    os.makedirs(save_dir, exist_ok=True)
+
+    dataset = build_dataset(args, cfg, train=True)
+    loader = BatchLoader(dataset, args.batch_size,
+                         num_workers=args.num_workers)
+    val_dataset = build_dataset(args, cfg, train=False)
+    evaluator = VOCEvaluator(val_dataset, cfg.num_classes, cfg.input_size)
+
+    params = det.init_params(jax.random.PRNGKey(0))
+    if args.resume:
+        print(f"resuming from {args.resume}")
+        params, _ = load_checkpoint(args.resume)
+
+    tc = TrainConfig(base_lr=args.lr, wp_epoch=args.wp_epoch,
+                     max_epoch=args.max_epoch, cos=args.cos)
+    mesh = make_mesh(data=args.mesh_data) if jax.device_count() > 1 else None
+    opt, step = make_train_step(det.module, cfg, tc, mesh=mesh)
+    opt_state = opt.init(params)
+    if mesh is not None:
+        params = shard_params(mesh, params)
+        opt_state = shard_params(mesh, opt_state)
+
+    epoch_size = max(len(loader), 1)
+    best_map = -1.0
+    for epoch in range(args.start_epoch, args.max_epoch):
+        t_epoch = time.time()
+        for it, (images, targets) in enumerate(loader):
+            lr = lr_at(tc, epoch, it, epoch_size)
+            gt = build_targets(cfg, targets)
+            if mesh is not None:
+                images = shard_batch(mesh, images)
+                gt = shard_batch(mesh, gt)
+            params, opt_state, metrics = step(params, opt_state, images,
+                                              gt, lr)
+            if it % 10 == 0:
+                m = jax.device_get(metrics)
+                print(f"[Epoch {epoch}][Iter {it}/{epoch_size}]"
+                      f"[lr {lr:.6f}] obj {float(m['conf_loss']):.2f} | "
+                      f"cls {float(m['cls_loss']):.2f} | "
+                      f"box {float(m['txtytwth_loss']):.2f} | "
+                      f"total {float(m['total_loss']):.2f}")
+            if args.debug:
+                break
+
+        print(f"epoch {epoch} took {time.time() - t_epoch:.1f}s")
+
+        if (epoch + 1) % args.eval_epoch == 0:
+            mean_ap = evaluator.evaluate(
+                lambda imgs: det.detect(params, imgs))
+            print(f"[Epoch {epoch}] mAP = {mean_ap:.4f}")
+            if mean_ap > best_map:
+                best_map = mean_ap
+        if (epoch + 1) % 10 == 0 or epoch + 1 == args.max_epoch:
+            path = os.path.join(
+                save_dir, f"{args.version}_{epoch + 1}.msgpack")
+            save_checkpoint(path, params)
+            print(f"saved {path}")
+        if args.debug:
+            break
+    return params
+
+
+if __name__ == "__main__":
+    train()

@@ -1,0 +1,238 @@
+"""Image transforms: eval-time normalization + SSD-style train-time
+augmentation, in numpy/cv2 on the host.
+
+Behavior parity with the reference pipeline:
+- base_transform (data/__init__.py:30-56): cv2 bilinear resize to the
+  model input, /255, minus ImageNet mean/std in **BGR order** (images are
+  read with cv2, i.e. BGR), then channel-flip to RGB as the datasets do
+  at the end of pull_item (data/voc_mask.py:145).
+- SSDAugmentation (utils/augmentations.py:413-431): photometric distort
+  (HSV jitter), expand-with-mean-fill, IoU-constrained random crop,
+  mirror, resize, normalize. Written against np.random.Generator for
+  reproducibility.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is present in the image
+    cv2 = None
+
+from yolo_tpu.config import BGR_MEAN, BGR_STD
+
+
+def _resize(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize to (h, w). cv2 when available (exact parity with
+    the reference), else a numpy half-pixel-centers fallback."""
+    h, w = size
+    if cv2 is not None:
+        return cv2.resize(image, (w, h))
+    return _numpy_bilinear_resize(image, h, w)
+
+
+def _numpy_bilinear_resize(img: np.ndarray, out_h: int, out_w: int):
+    in_h, in_w = img.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * in_h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * in_w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, in_h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, in_w - 1)
+    y1 = np.clip(y0 + 1, 0, in_h - 1)
+    x1 = np.clip(x0 + 1, 0, in_w - 1)
+    fy = np.clip(ys - y0, 0, 1)[:, None, None]
+    fx = np.clip(xs - x0, 0, 1)[None, :, None]
+    im = img.astype(np.float32)
+    top = im[y0][:, x0] * (1 - fx) + im[y0][:, x1] * fx
+    bot = im[y1][:, x0] * (1 - fx) + im[y1][:, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def base_transform(image, size, mean=BGR_MEAN, std=BGR_STD):
+    """Resize + /255 + normalize (BGR stats). Returns float32 HWC (BGR)."""
+    x = _resize(image, size).astype(np.float32)
+    x /= 255.0
+    x -= np.asarray(mean, np.float32)
+    x /= np.asarray(std, np.float32)
+    return x
+
+
+def to_rgb(image: np.ndarray) -> np.ndarray:
+    """BGR->RGB channel flip (the datasets' final step)."""
+    return image[:, :, ::-1].copy()
+
+
+class BaseTransform:
+    """Eval-time transform (reference data/__init__.py:49-56) with the
+    dataset's BGR->RGB flip folded in so callers get model-ready arrays."""
+
+    def __init__(self, size, mean=BGR_MEAN, std=BGR_STD, rgb: bool = True):
+        self.size = tuple(size)
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.rgb = rgb
+
+    def __call__(self, image, boxes=None, labels=None):
+        x = base_transform(image, self.size, self.mean, self.std)
+        if self.rgb:
+            x = to_rgb(x)
+        return x, boxes, labels
+
+
+# ---------------------------------------------------------------------------
+# SSD-style train augmentation.
+# ---------------------------------------------------------------------------
+
+
+def _jaccard(boxes: np.ndarray, rect: np.ndarray) -> np.ndarray:
+    max_xy = np.minimum(boxes[:, 2:], rect[2:])
+    min_xy = np.maximum(boxes[:, :2], rect[:2])
+    inter_wh = np.clip(max_xy - min_xy, 0, None)
+    inter = inter_wh[:, 0] * inter_wh[:, 1]
+    area_a = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    area_b = (rect[2] - rect[0]) * (rect[3] - rect[1])
+    return inter / (area_a + area_b - inter)
+
+
+def _photometric_distort(rng, image):
+    """Brightness/contrast/saturation/hue jitter
+    (utils/augmentations.py:388-410). Image is float32 BGR 0..255."""
+    im = image.copy()
+    if rng.integers(2):
+        im += rng.uniform(-32, 32)
+
+    contrast_first = bool(rng.integers(2))
+
+    def contrast(im):
+        if rng.integers(2):
+            im *= rng.uniform(0.5, 1.5)
+        return im
+
+    if contrast_first:
+        im = contrast(im)
+    if cv2 is not None:
+        hsv = cv2.cvtColor(im.astype(np.float32), cv2.COLOR_BGR2HSV)
+        if rng.integers(2):
+            hsv[:, :, 1] *= rng.uniform(0.5, 1.5)
+        if rng.integers(2):
+            hsv[:, :, 0] += rng.uniform(-18, 18)
+            hsv[:, :, 0][hsv[:, :, 0] > 360.0] -= 360.0
+            hsv[:, :, 0][hsv[:, :, 0] < 0.0] += 360.0
+        im = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+    if not contrast_first:
+        im = contrast(im)
+    return im
+
+
+def _expand(rng, image, boxes, mean):
+    """Canvas expansion with mean fill (utils/augmentations.py:324-350)."""
+    if rng.integers(2):
+        return image, boxes
+    height, width, depth = image.shape
+    ratio = rng.uniform(1, 4)
+    left = rng.uniform(0, width * ratio - width)
+    top = rng.uniform(0, height * ratio - height)
+    canvas = np.zeros((int(height * ratio), int(width * ratio), depth),
+                      image.dtype)
+    canvas[:, :, :] = mean
+    canvas[int(top):int(top) + height, int(left):int(left) + width] = image
+    boxes = boxes.copy()
+    boxes[:, :2] += (int(left), int(top))
+    boxes[:, 2:] += (int(left), int(top))
+    return canvas, boxes
+
+
+_CROP_MODES = (None, (0.1, None), (0.3, None), (0.7, None), (0.9, None),
+               (None, None))
+
+
+def _random_sample_crop(rng, image, boxes, labels):
+    """IoU-constrained random crop (utils/augmentations.py:220-321)."""
+    height, width, _ = image.shape
+    while True:
+        mode = _CROP_MODES[rng.integers(len(_CROP_MODES))]
+        if mode is None:
+            return image, boxes, labels
+        min_iou, max_iou = mode
+        min_iou = -np.inf if min_iou is None else min_iou
+        max_iou = np.inf if max_iou is None else max_iou
+
+        for _ in range(50):
+            w = rng.uniform(0.3 * width, width)
+            h = rng.uniform(0.3 * height, height)
+            if h / w < 0.5 or h / w > 2:
+                continue
+            left = rng.uniform(0, width - w)
+            top = rng.uniform(0, height - h)
+            rect = np.array([int(left), int(top), int(left + w),
+                             int(top + h)])
+            overlap = _jaccard(boxes, rect)
+            if overlap.min() < min_iou and max_iou < overlap.max():
+                continue
+            centers = (boxes[:, :2] + boxes[:, 2:]) / 2.0
+            mask = ((rect[0] < centers[:, 0]) & (rect[1] < centers[:, 1]) &
+                    (rect[2] > centers[:, 0]) & (rect[3] > centers[:, 1]))
+            if not mask.any():
+                continue
+            crop = image[rect[1]:rect[3], rect[0]:rect[2], :]
+            new_boxes = boxes[mask].copy()
+            new_boxes[:, :2] = np.maximum(new_boxes[:, :2], rect[:2])
+            new_boxes[:, :2] -= rect[:2]
+            new_boxes[:, 2:] = np.minimum(new_boxes[:, 2:], rect[2:])
+            new_boxes[:, 2:] -= rect[:2]
+            return crop, new_boxes, labels[mask]
+
+
+class SSDAugmentation:
+    """Training augmentation pipeline (utils/augmentations.py:413-431).
+
+    Input: uint8 BGR image, normalized [0,1] corner boxes, labels.
+    Output: normalized float32 image (BGR stats, flipped to RGB),
+    normalized boxes, labels.
+    """
+
+    def __init__(self, size=(416, 416), mean=BGR_MEAN, std=BGR_STD,
+                 rgb: bool = True, seed: Optional[int] = None):
+        self.size = tuple(size)
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.rgb = rgb
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, image, boxes, labels):
+        rng = self.rng
+        height, width = image.shape[:2]
+        im = image.astype(np.float32)
+        boxes = np.asarray(boxes, np.float32).copy()
+        labels = np.asarray(labels)
+
+        # to absolute coords
+        boxes[:, 0::2] *= width
+        boxes[:, 1::2] *= height
+
+        im = _photometric_distort(rng, im)
+        im, boxes = _expand(rng, im, boxes, self.mean)
+        im, boxes, labels = _random_sample_crop(rng, im, boxes, labels)
+
+        # mirror
+        if rng.integers(2):
+            im = im[:, ::-1]
+            w = im.shape[1]
+            boxes = boxes.copy()
+            boxes[:, 0::2] = w - boxes[:, 2::-2]
+
+        # back to percent coords
+        h, w = im.shape[:2]
+        boxes[:, 0::2] /= w
+        boxes[:, 1::2] /= h
+
+        im = _resize(im, self.size).astype(np.float32)
+        im /= 255.0
+        im -= self.mean
+        im /= self.std
+        if self.rgb:
+            im = to_rgb(im)
+        return im, boxes, labels

@@ -1,0 +1,171 @@
+"""VOC mAP evaluation (AP@0.5, 11-point or continuous metric).
+
+Same evaluation protocol as the reference evaluators
+(utils/vocapi_evaluator_mask.py:158-231 and the classic voc_eval): per
+class, detections across the dataset are score-sorted and greedily
+matched to GT at IoU>=0.5; difficult GT boxes are ignored; AP is the
+11-point interpolated metric by default (use_07_metric).
+
+Unlike the reference (single-image model forwards with an in-Python NMS),
+the evaluator here runs the detector *batched* on device and only does
+the bookkeeping on host.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def voc_ap(rec: np.ndarray, prec: np.ndarray,
+           use_07_metric: bool = True) -> float:
+    """Average precision given recall/precision curves."""
+    if use_07_metric:
+        ap = 0.0
+        for t in np.arange(0.0, 1.1, 0.1):
+            p = 0.0 if np.sum(rec >= t) == 0 else np.max(prec[rec >= t])
+            ap += p / 11.0
+        return float(ap)
+    mrec = np.concatenate(([0.0], rec, [1.0]))
+    mpre = np.concatenate(([0.0], prec, [0.0]))
+    for i in range(mpre.size - 1, 0, -1):
+        mpre[i - 1] = np.maximum(mpre[i - 1], mpre[i])
+    i = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[i + 1] - mrec[i]) * mpre[i + 1]))
+
+
+def voc_eval_class(dets_per_image: List[np.ndarray],
+                   gts_per_image: List[np.ndarray],
+                   difficult_per_image: Optional[List[np.ndarray]] = None,
+                   ovthresh: float = 0.5,
+                   use_07_metric: bool = True) -> float:
+    """AP for one class.
+
+    Args:
+      dets_per_image: per image [N, 5] arrays (x1, y1, x2, y2, score) in
+        pixels.
+      gts_per_image: per image [M, 4] GT boxes in pixels.
+      difficult_per_image: per image [M] bool (ignored GT), default none.
+    """
+    n_images = len(dets_per_image)
+    if difficult_per_image is None:
+        difficult_per_image = [
+            np.zeros(len(g), bool) for g in gts_per_image]
+
+    npos = sum(int((~d).sum()) for d in difficult_per_image)
+    matched = [np.zeros(len(g), bool) for g in gts_per_image]
+
+    records = []  # (score, image_idx, box)
+    for i in range(n_images):
+        for det in np.asarray(dets_per_image[i]).reshape(-1, 5):
+            records.append((det[4], i, det[:4]))
+    if not records:
+        return 0.0 if npos > 0 else 0.0
+    records.sort(key=lambda r: -r[0])
+
+    tp = np.zeros(len(records))
+    fp = np.zeros(len(records))
+    for k, (score, i, bb) in enumerate(records):
+        gts = np.asarray(gts_per_image[i]).reshape(-1, 4)
+        ovmax, jmax = -np.inf, -1
+        if len(gts) > 0:
+            ixmin = np.maximum(gts[:, 0], bb[0])
+            iymin = np.maximum(gts[:, 1], bb[1])
+            ixmax = np.minimum(gts[:, 2], bb[2])
+            iymax = np.minimum(gts[:, 3], bb[3])
+            iw = np.maximum(ixmax - ixmin, 0.0)
+            ih = np.maximum(iymax - iymin, 0.0)
+            inters = iw * ih
+            uni = ((bb[2] - bb[0]) * (bb[3] - bb[1]) +
+                   (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1]) -
+                   inters)
+            overlaps = inters / np.maximum(uni, 1e-10)
+            jmax = int(np.argmax(overlaps))
+            ovmax = overlaps[jmax]
+        if ovmax > ovthresh:
+            if difficult_per_image[i][jmax]:
+                continue  # ignore
+            if not matched[i][jmax]:
+                tp[k] = 1.0
+                matched[i][jmax] = True
+            else:
+                fp[k] = 1.0
+        else:
+            fp[k] = 1.0
+
+    fp = np.cumsum(fp)
+    tp = np.cumsum(tp)
+    rec = tp / np.maximum(float(npos), 1e-10)
+    prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+    return voc_ap(rec, prec, use_07_metric)
+
+
+class VOCEvaluator:
+    """mAP evaluator over any dataset with pull_item/pull_anno.
+
+    ``detect_batch(images) -> (boxes_norm [B,K,4], scores [B,K],
+    classes [B,K], valid [B,K])`` is the batched in-graph detector; images
+    are pre-transformed to the evaluator's input size.
+    """
+
+    def __init__(self, dataset, num_classes: int, input_size,
+                 batch_size: int = 32, use_07_metric: bool = True,
+                 display: bool = False):
+        self.dataset = dataset
+        self.num_classes = num_classes
+        self.input_size = tuple(input_size)
+        self.batch_size = batch_size
+        self.use_07_metric = use_07_metric
+        self.display = display
+        self.map = None
+
+    def evaluate(self, detect_batch: Callable) -> float:
+        n = len(self.dataset)
+        dets: List[List[np.ndarray]] = [
+            [np.empty((0, 5), np.float32) for _ in range(n)]
+            for _ in range(self.num_classes)]
+        gts: List[List[np.ndarray]] = [
+            [np.empty((0, 4), np.float32) for _ in range(n)]
+            for _ in range(self.num_classes)]
+
+        # collect GT (pixel coords) from the dataset annotations
+        sizes = []
+        for i in range(n):
+            _, target, h, w = self.dataset.pull_item(i)
+            sizes.append((h, w))
+            t = np.asarray(target).reshape(-1, 5)
+            for cls in range(self.num_classes):
+                rows = t[t[:, 4] == cls]
+                if len(rows):
+                    gts[cls][i] = rows[:, :4] * [w, h, w, h]
+
+        # batched detection
+        for start in range(0, n, self.batch_size):
+            idx = range(start, min(start + self.batch_size, n))
+            images = np.stack(
+                [self.dataset.pull_item(i)[0] for i in idx])
+            boxes, scores, classes, valid = (
+                np.asarray(a) for a in detect_batch(images))
+            for bi, i in enumerate(idx):
+                h, w = sizes[i]
+                scale = np.array([w, h, w, h], np.float32)
+                for k in np.where(valid[bi])[0]:
+                    cls = int(classes[bi, k])
+                    det = np.concatenate(
+                        [boxes[bi, k] * scale, [scores[bi, k]]])
+                    dets[cls][i] = np.vstack(
+                        [dets[cls][i], det[None].astype(np.float32)])
+            if self.display and start % (20 * self.batch_size) == 0:
+                print(f"im_detect: {start}/{n}")
+
+        aps = []
+        for cls in range(self.num_classes):
+            ap = voc_eval_class(dets[cls], gts[cls],
+                                use_07_metric=self.use_07_metric)
+            aps.append(ap)
+            if self.display:
+                print(f"AP[class {cls}] = {ap:.4f}")
+        self.map = float(np.mean(aps))
+        self.class_aps = aps
+        return self.map

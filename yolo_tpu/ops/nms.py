@@ -140,6 +140,12 @@ def postprocess_jax(boxes: jnp.ndarray, class_probs: jnp.ndarray,
     out_valid = out_scores > 0.0
     out_boxes = jnp.where(out_valid[:, None], cand_boxes[out_idx], 0.0)
     out_cls = jnp.where(out_valid, cand_cls[out_idx], -1)
+    if top_k > k:  # fixed output budget even for tiny inputs
+        pad = top_k - k
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        out_scores = jnp.pad(out_scores, (0, pad))
+        out_cls = jnp.pad(out_cls, (0, pad), constant_values=-1)
+        out_valid = jnp.pad(out_valid, (0, pad))
     return out_boxes, out_scores, out_cls, out_valid
 
 

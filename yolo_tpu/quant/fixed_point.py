@@ -1,0 +1,192 @@
+"""Integer INT8 inference engine: the c_embedding/yolo_forward.c
+equivalent, as XLA integer ops (+ a numpy oracle for bit-exactness tests).
+
+Fixed-point model (per conv layer l), mirroring the hardware shift
+programming in set_quantize_scale (c_embedding/yolo_forward.c:233-257):
+
+  inputs  a_q : int8, value ~ real * 2^sa_in
+  weights w_q : int8, value ~ real * 2^sw
+  bias    b_q : int8, value ~ real * 2^sb
+
+  acc32 = conv(a_q, w_q)                  # int32, scale 2^(sa_in+sw)
+  acc16 = shift(acc32, sa_in + sw - retune)   # 'iofs', -> scale 2^retune
+  acc16 += shift(b_q, sb - retune)            # 'bofs'
+  [int16 saturation — retune is chosen so |acc16| < 2^15]
+  act   = leaky: negative values >> 3         # slope 0.125 = 2^-3
+  pool  = 2x2 max pool (if the layer has one)
+  out8  = shift(acc16_act, retune - sa_out)   # 'oofs', -> scale 2^sa_out
+  [int8 saturation]
+
+``rounding='nearest'`` uses round-half-away shifts (better accuracy);
+``'floor'`` is the arithmetic-shift behavior of the FPGA datapath. All
+implementations (XLA graph, numpy oracle, Pallas kernel) share the exact
+same integer formula and are bit-comparable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tpu.models.slim_yolo_v2 import CONV_LAYERS
+from yolo_tpu.quant import quantize as q
+from yolo_tpu.quant.qsim import QUANT_LAYER_NAMES, TRACKER_NAMES
+
+INT16_MIN, INT16_MAX = -(2 ** 15), 2 ** 15 - 1
+INT8_MIN, INT8_MAX = -128, 127
+
+
+@dataclass
+class Int8Model:
+    """Quantized slim_yolo_v2: int8 tensors + per-layer shift exponents.
+
+    The exponent tables (sw/sb/sa/retune) are exactly what the reference C
+    engine hardcodes (c_embedding/yolo_forward.c:32-35)."""
+    w_q: Dict[str, jnp.ndarray]     # int8 HWIO
+    b_q: Dict[str, jnp.ndarray]     # int32 (int8-valued)
+    sw: Dict[str, int]
+    sb: Dict[str, int]
+    sa: Dict[str, int]              # tracker name -> exponent (11 entries)
+    retune: Dict[str, int]
+
+
+def quantize_model(params_fused, tracker_states, retune: Dict[str, int],
+                   bitwidth: int = 8) -> Int8Model:
+    """BN-fused float params + calibrated trackers + retune table ->
+    integer model."""
+    from yolo_tpu.quant.qsim import activation_scale_exponents
+
+    w_q, b_q, sw, sb = {}, {}, {}, {}
+    for name in QUANT_LAYER_NAMES:
+        wq, wscale = q.quantize_pow2(params_fused[name]["w"], bitwidth)
+        bq, bscale = q.quantize_pow2(params_fused[name]["b"], bitwidth)
+        w_q[name] = jnp.clip(wq, INT8_MIN, INT8_MAX).astype(jnp.int8)
+        b_q[name] = jnp.clip(bq, INT8_MIN, INT8_MAX).astype(jnp.int32)
+        sw[name] = int(jnp.log2(wscale))
+        sb[name] = int(jnp.log2(bscale))
+    sa = activation_scale_exponents(tracker_states)
+    return Int8Model(w_q=w_q, b_q=b_q, sw=sw, sb=sb, sa=sa,
+                     retune=dict(retune))
+
+
+# ---------------------------------------------------------------------------
+# Shared integer helpers (jnp and np share the same code via the xp arg).
+# ---------------------------------------------------------------------------
+
+
+def _shift(v, s: int, rounding: str, xp):
+    """Multiply by 2^-s in integer arithmetic. s may be negative (left
+    shift, exact)."""
+    if s == 0:
+        return v
+    if s < 0:
+        return v * (1 << (-s))
+    if rounding == "floor":
+        return xp.right_shift(v, s)
+    # round-half-away-from-zero: sign * ((|v| + 2^(s-1)) >> s)
+    offset = 1 << (s - 1)
+    mag = xp.right_shift(xp.abs(v) + offset, s)
+    return xp.sign(v) * mag
+
+
+def _leaky_int(v, rounding: str, xp):
+    """LeakyReLU(0.125) as an arithmetic shift on negatives."""
+    return xp.where(v >= 0, v, _shift(v, 3, rounding, xp))
+
+
+def _maxpool_int_np(x):
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
+
+
+# ---------------------------------------------------------------------------
+# XLA integer graph.
+# ---------------------------------------------------------------------------
+
+
+def quantize_input(x: jnp.ndarray, sa_in: int) -> jnp.ndarray:
+    """float (normalized) image -> int8 at scale 2^sa_in."""
+    return jnp.clip(jnp.round(x * (2.0 ** sa_in)), INT8_MIN, INT8_MAX
+                    ).astype(jnp.int8)
+
+
+def int8_forward(m: Int8Model, x_q: jnp.ndarray,
+                 rounding: str = "nearest") -> jnp.ndarray:
+    """int8 input [B, H, W, 3] -> float head output [B, H/16, W/16, C].
+
+    All conv arithmetic is int8 x int8 -> int32 on the MXU
+    (preferred_element_type=int32); everything else is integer VPU work
+    that XLA fuses between the convs.
+    """
+    out = x_q
+    names = list(TRACKER_NAMES)  # in, conv1..conv7(pred names), pred
+    pools = {name: pool for name, _, _, pool in CONV_LAYERS}
+    for i, name in enumerate(QUANT_LAYER_NAMES):
+        sa_in = m.sa[names[i]]
+        sa_out = m.sa[names[i + 1]]
+        r = m.retune[name]
+        acc = jax.lax.conv_general_dilated(
+            out.astype(jnp.int8), m.w_q[name],
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        acc = _shift(acc, m.sw[name] + sa_in - r, rounding, jnp)
+        acc = acc + _shift(m.b_q[name], m.sb[name] - r, rounding, jnp)
+        acc = jnp.clip(acc, INT16_MIN, INT16_MAX)  # int16 accumulator
+        if name != "pred":
+            acc = _leaky_int(acc, rounding, jnp)
+        out = _shift(acc, r - sa_out, rounding, jnp)
+        out = jnp.clip(out, INT8_MIN, INT8_MAX).astype(jnp.int8)
+        if name != "pred" and pools[name]:
+            out = jax.lax.reduce_window(
+                out, jnp.int8(INT8_MIN), jax.lax.max,
+                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    # dequantize the head to float for decode
+    return out.astype(jnp.float32) * (2.0 ** -m.sa["pred"])
+
+
+# ---------------------------------------------------------------------------
+# Numpy oracle (bit-exact reference implementation).
+# ---------------------------------------------------------------------------
+
+
+def _conv_int_np(x, w):
+    """Naive padded int32 conv, NHWC x HWIO. Small sizes only (tests)."""
+    b, h, wd, ci = x.shape
+    kh, kw, _, co = w.shape
+    xp = np.pad(x.astype(np.int32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = np.zeros((b, h, wd, co), np.int32)
+    for dy in range(kh):
+        for dx in range(kw):
+            patch = xp[:, dy:dy + h, dx:dx + wd, :]
+            out += np.einsum("bhwc,co->bhwo", patch,
+                             w[dy, dx].astype(np.int32))
+    return out
+
+
+def int8_forward_numpy(m: Int8Model, x_q: np.ndarray,
+                       rounding: str = "nearest") -> np.ndarray:
+    """Bit-exact numpy oracle of int8_forward."""
+    out = np.asarray(x_q, np.int32)
+    names = list(TRACKER_NAMES)
+    pools = {name: pool for name, _, _, pool in CONV_LAYERS}
+    for i, name in enumerate(QUANT_LAYER_NAMES):
+        sa_in, sa_out = m.sa[names[i]], m.sa[names[i + 1]]
+        r = m.retune[name]
+        acc = _conv_int_np(out, np.asarray(m.w_q[name]))
+        acc = _shift(acc, m.sw[name] + sa_in - r, rounding, np)
+        acc = acc + _shift(np.asarray(m.b_q[name], np.int32),
+                           m.sb[name] - r, rounding, np)
+        acc = np.clip(acc, INT16_MIN, INT16_MAX)
+        if name != "pred":
+            acc = _leaky_int(acc, rounding, np)
+        out = np.clip(_shift(acc, r - sa_out, rounding, np),
+                      INT8_MIN, INT8_MAX)
+        if name != "pred" and pools[name]:
+            out = _maxpool_int_np(out)
+    return out.astype(np.float32) * (2.0 ** -m.sa["pred"])

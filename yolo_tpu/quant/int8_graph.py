@@ -1,0 +1,102 @@
+"""Whole-pipeline INT8 detection graph: quantize -> int8 backbone ->
+decode -> NMS, one jitted XLA program.
+
+This is the TPU serving equivalent of the reference's embedded pipeline
+(c_embedding/yolo_forward.c:1181-1282): the C engine's tiled conv
+schedule becomes MXU int8 convs, its software tail (sigmoid/decode/
+get_boxes/NMS, yolo_forward.c:965-1147) fuses into the same XLA program
+with fixed shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tpu.config import DetectorConfig
+from yolo_tpu.detector import decode_all_boxes
+from yolo_tpu.ops import blocks, decode, nms
+from yolo_tpu.quant import fixed_point as fp
+from yolo_tpu.quant import qsim
+
+
+def int8_predict(m: fp.Int8Model, images, cfg: DetectorConfig,
+                 rounding: str = "nearest"):
+    """float images -> (boxes_norm [B, N, 4], class_probs [B, N, C])."""
+    x_q = fp.quantize_input(images, m.sa["in"])
+    head = fp.int8_forward(m, x_q, rounding)  # [B, H/16, W/16, abC] float
+    flat = blocks.flatten_grid(head)
+    conf, cls, txt = decode.split_predictions(
+        flat, cfg.anchors_per_scale, cfg.num_classes)
+    h, w = cfg.input_size
+    scale = jnp.asarray([w, h, w, h], jnp.float32)
+    boxes = jnp.clip(decode_all_boxes([txt], cfg) / scale, 0.0, 1.0)
+    probs = jax.nn.softmax(cls, axis=-1) * jax.nn.sigmoid(conf)
+    return boxes, probs
+
+
+def make_int8_detect_fn(m: fp.Int8Model, cfg: DetectorConfig,
+                        rounding: str = "nearest"):
+    """Jitted end-to-end int8 detector:
+    images [B, H, W, 3] float -> (boxes, scores, classes, valid)."""
+
+    @jax.jit
+    def detect(images):
+        boxes, probs = int8_predict(m, images, cfg, rounding)
+        return nms.batched_postprocess(
+            boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
+            cfg.pre_nms_top_k, cfg.top_k)
+
+    return detect
+
+
+def quantize_pipeline(params_fp32, cfg: DetectorConfig,
+                      calib_batches: Iterable[np.ndarray],
+                      fold_bn: bool = True,
+                      max_images: int = 1000) -> fp.Int8Model:
+    """Full PTQ pipeline: fold BN -> fake-quant weights -> calibrate
+    activation ranges -> search retune shifts -> integer model.
+
+    One function replacing the reference's four-script chain
+    (conv+bn2conv.py -> retune_bias_quantize.py -q ->
+    retune_bias_quantize_findbest.py -> manual weight export).
+    """
+    from yolo_tpu.quant.bn_fold import fold_batch_norm
+
+    calib_batches = list(calib_batches)
+    fused = fold_batch_norm(params_fp32) if fold_bn else params_fp32
+    params_q = qsim.fake_quantize_params(fused)
+    states = qsim.calibrate(params_q, cfg, calib_batches,
+                            max_images=max_images)
+    retune = qsim.find_retune_exponents(params_q, cfg, states,
+                                        calib_batches)
+    return fp.quantize_model(fused, states, retune)
+
+
+def build_int8_detect(cfg: DetectorConfig,
+                      params_fp32=None,
+                      calib_batches: Optional[Iterable] = None,
+                      rounding: str = "nearest") -> Tuple:
+    """Convenience/bench entry: returns (jitted fn(params_ignored, images),
+    Int8Model). Without trained params, random weights + synthetic
+    calibration produce a structurally-real int8 graph (for perf work)."""
+    if params_fp32 is None:
+        from yolo_tpu.models import slim_yolo_v2
+        params_fp32 = slim_yolo_v2.init_params(
+            jax.random.PRNGKey(0), cfg, batch_norm=True)
+    if calib_batches is None:
+        rng = np.random.default_rng(0)
+        h, w = cfg.input_size
+        calib_batches = [
+            rng.random((8, h, w, 3), dtype=np.float32) for _ in range(4)]
+    m = quantize_pipeline(params_fp32, cfg, calib_batches)
+    detect = make_int8_detect_fn(m, cfg, rounding)
+
+    def fn(_params, images):
+        return detect(images)
+
+    return fn, m

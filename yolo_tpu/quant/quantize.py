@@ -1,0 +1,90 @@
+"""Power-of-two-scale quantization primitives + activation range trackers.
+
+Semantics parity with the reference:
+- weight/bias quantization (retune_bias_quantize.py:73-97): per-tensor
+  scale = (2^(b-1)-1)/max|t| floored to a power of two,
+  q = round(scale * t), fake-quant value q/scale.
+- activation tracker (models/slim_yolo_v2.py:9-38 AveragedRangeTracker):
+  EMA (momentum 0.1) of the raw scale across calibration batches, first
+  batch initializes, frozen in eval; the *pow2-floored* EMA scale is what
+  quantizes.
+
+Trackers are explicit state pytrees ({'scale', 'initialized'}), not
+module buffers — calibration is a pure fold over batches.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def pow2_scale(t: jnp.ndarray, bitwidth: int = 8) -> jnp.ndarray:
+    """Power-of-two-floored quantization scale for a tensor.
+
+    All-zero tensors (e.g. the zero bias an identity BN folds to) get
+    scale 1.0 instead of inf — q stays 0 either way."""
+    max_abs = jnp.max(jnp.abs(t))
+    scale = (2.0 ** (bitwidth - 1) - 1) / jnp.where(max_abs > 0, max_abs, 1)
+    return jnp.where(max_abs > 0,
+                     2.0 ** jnp.floor(jnp.log2(scale)), 1.0)
+
+
+def quantize_pow2(t: jnp.ndarray, bitwidth: int = 8
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(integer levels, pow2 scale). q = round(scale * t)."""
+    scale = pow2_scale(t, bitwidth)
+    return jnp.round(scale * t), scale
+
+
+def fake_quantize(t: jnp.ndarray, bitwidth: int = 8) -> jnp.ndarray:
+    """round(scale*t)/scale with a pow2 scale (straight-through value)."""
+    q, scale = quantize_pow2(t, bitwidth)
+    return q / scale
+
+
+# ---------------------------------------------------------------------------
+# Activation range tracker (explicit state).
+# ---------------------------------------------------------------------------
+
+MOMENTUM = 0.1
+
+
+def tracker_init():
+    """Fresh tracker state."""
+    return {"scale": jnp.zeros(()), "initialized": jnp.zeros(())}
+
+
+def tracker_update(state, activation, bitwidth: int = 8):
+    """One EMA update from a batch of activations
+    (reference models/slim_yolo_v2.py:21-31)."""
+    max_abs = jnp.max(jnp.abs(activation))
+    new_scale = (2.0 ** (bitwidth - 1) - 1) / jnp.where(
+        max_abs > 0, max_abs, 1)
+    first = state["initialized"] == 0
+    scale = jnp.where(
+        first, new_scale,
+        state["scale"] * (1 - MOMENTUM) + new_scale * MOMENTUM)
+    return {"scale": scale, "initialized": jnp.ones(())}
+
+
+def tracker_pow2(state) -> jnp.ndarray:
+    """The pow2-floored scale actually used for quantization
+    (models/slim_yolo_v2.py:33)."""
+    return 2.0 ** jnp.floor(jnp.log2(state["scale"]))
+
+
+def tracker_quantize(state, activation, bitwidth: int = 8,
+                     update: bool = False, rescale: bool = True):
+    """Fake-quantize an activation through the tracker.
+
+    With update=True (calibration) the EMA advances first — matching the
+    reference order where the scale update sees the current batch before
+    quantizing (models/slim_yolo_v2.py:21-38). Returns (value, new_state).
+    """
+    if update:
+        state = tracker_update(state, activation, bitwidth)
+    scale = tracker_pow2(state)
+    q = jnp.round(scale * activation)
+    return (q / scale if rescale else q), state
