@@ -1,0 +1,69 @@
+"""Pallas int8 kernel tests (interpret mode on CPU; the driver exercises
+the compiled TPU path separately)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_tpu.config import get_config
+from yolo_tpu.kernels.int8_conv import int8_conv3x3_requant
+from yolo_tpu.quant import fixed_point as fp
+
+
+def _oracle(x, w, bq, sw, sb, sa_in, sa_out, retune, leaky, rounding):
+    acc = fp._conv_int_np(np.asarray(x, np.int32), np.asarray(w))
+    acc = fp._shift(acc, sw + sa_in - retune, rounding, np)
+    acc = acc + fp._shift(np.asarray(bq, np.int32), sb - retune, rounding,
+                          np)
+    acc = np.clip(acc, fp.INT16_MIN, fp.INT16_MAX)
+    if leaky:
+        acc = np.where(acc >= 0, acc, fp._shift(acc, 3, rounding, np))
+    return np.clip(fp._shift(acc, retune - sa_out, rounding, np),
+                   fp.INT8_MIN, fp.INT8_MAX)
+
+
+@pytest.mark.parametrize("rounding", ["nearest", "floor"])
+@pytest.mark.parametrize("leaky", [True, False])
+def test_kernel_bit_exact_vs_oracle(rng, rounding, leaky):
+    B, H, W, Cin, Cout = 2, 8, 8, 16, 32
+    x = jnp.asarray(rng.integers(-128, 128, (B, H, W, Cin)), jnp.int8)
+    w = jnp.asarray(rng.integers(-30, 30, (3, 3, Cin, Cout)), jnp.int8)
+    bq = jnp.asarray(rng.integers(-100, 100, (Cout,)), jnp.int32)
+    kw = dict(sw=8, sb=7, sa_in=4, sa_out=4, retune=11)
+    got = np.asarray(int8_conv3x3_requant(
+        x, w, bq, leaky=leaky, rounding=rounding, interpret=True, **kw))
+    want = _oracle(x, w, bq, leaky=leaky, rounding=rounding, **kw)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_kernel_negative_out_shift(rng):
+    """retune < sa_out -> left output shift path."""
+    B, H, W, Cin, Cout = 1, 4, 4, 8, 8
+    x = jnp.asarray(rng.integers(-5, 5, (B, H, W, Cin)), jnp.int8)
+    w = jnp.asarray(rng.integers(-3, 3, (3, 3, Cin, Cout)), jnp.int8)
+    bq = jnp.zeros((Cout,), jnp.int32)
+    kw = dict(sw=2, sb=2, sa_in=2, sa_out=6, retune=4, leaky=True)
+    got = np.asarray(int8_conv3x3_requant(x, w, bq, rounding="nearest",
+                                          interpret=True, **kw))
+    want = _oracle(x, w, bq, rounding="nearest", **kw)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_int8_forward_pallas_matches_xla(rng):
+    """Full 10-layer pallas backbone == XLA int8 graph, bit-exact
+    (interpret mode)."""
+    from yolo_tpu.models import slim_yolo_v2
+    from yolo_tpu.quant.bn_fold import fold_batch_norm
+    from yolo_tpu.quant.int8_graph import quantize_pipeline
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    params = slim_yolo_v2.init_params(jax.random.PRNGKey(1), cfg,
+                                      batch_norm=True)
+    batches = [rng.random((2, 32, 32, 3), dtype=np.float32)]
+    m = quantize_pipeline(params, cfg, batches)
+    x_q = fp.quantize_input(jnp.asarray(batches[0]), m.sa["in"])
+    want = np.asarray(fp.int8_forward(m, x_q, "nearest"))
+    got = np.asarray(fp.int8_forward_pallas(m, x_q, "nearest",
+                                            interpret=True))
+    np.testing.assert_array_equal(got, want)

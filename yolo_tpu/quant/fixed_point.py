@@ -150,6 +150,33 @@ def int8_forward(m: Int8Model, x_q: jnp.ndarray,
     return out.astype(jnp.float32) * (2.0 ** -m.sa["pred"])
 
 
+def int8_forward_pallas(m: Int8Model, x_q: jnp.ndarray,
+                        rounding: str = "nearest",
+                        interpret: bool = False) -> jnp.ndarray:
+    """Same integer semantics as int8_forward, but each conv+requant layer
+    runs as one fused Pallas MXU kernel (yolo_tpu.kernels.int8_conv) —
+    int32 accumulators never touch HBM. Bit-exact with int8_forward and
+    the numpy oracle. Pooling stays as an XLA int8 reduce_window between
+    kernels (max-pool commutes with the monotonic requant)."""
+    from yolo_tpu.kernels.int8_conv import int8_conv3x3_requant
+
+    out = x_q
+    names = list(TRACKER_NAMES)
+    pools = {name: pool for name, _, _, pool in CONV_LAYERS}
+    for i, name in enumerate(QUANT_LAYER_NAMES):
+        out = int8_conv3x3_requant(
+            out, m.w_q[name], m.b_q[name],
+            sw=m.sw[name], sb=m.sb[name],
+            sa_in=m.sa[names[i]], sa_out=m.sa[names[i + 1]],
+            retune=m.retune[name], leaky=(name != "pred"),
+            rounding=rounding, interpret=interpret)
+        if name != "pred" and pools[name]:
+            out = jax.lax.reduce_window(
+                out, jnp.int8(INT8_MIN), jax.lax.max,
+                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return out.astype(jnp.float32) * (2.0 ** -m.sa["pred"])
+
+
 # ---------------------------------------------------------------------------
 # Numpy oracle (bit-exact reference implementation).
 # ---------------------------------------------------------------------------

@@ -25,10 +25,11 @@ from yolo_tpu.quant import qsim
 
 
 def int8_predict(m: fp.Int8Model, images, cfg: DetectorConfig,
-                 rounding: str = "nearest"):
+                 rounding: str = "nearest", backend: str = "xla"):
     """float images -> (boxes_norm [B, N, 4], class_probs [B, N, C])."""
     x_q = fp.quantize_input(images, m.sa["in"])
-    head = fp.int8_forward(m, x_q, rounding)  # [B, H/16, W/16, abC] float
+    fwd = fp.int8_forward_pallas if backend == "pallas" else fp.int8_forward
+    head = fwd(m, x_q, rounding)  # [B, H/16, W/16, abC] float
     flat = blocks.flatten_grid(head)
     conf, cls, txt = decode.split_predictions(
         flat, cfg.anchors_per_scale, cfg.num_classes)
@@ -40,13 +41,13 @@ def int8_predict(m: fp.Int8Model, images, cfg: DetectorConfig,
 
 
 def make_int8_detect_fn(m: fp.Int8Model, cfg: DetectorConfig,
-                        rounding: str = "nearest"):
+                        rounding: str = "nearest", backend: str = "xla"):
     """Jitted end-to-end int8 detector:
     images [B, H, W, 3] float -> (boxes, scores, classes, valid)."""
 
     @jax.jit
     def detect(images):
-        boxes, probs = int8_predict(m, images, cfg, rounding)
+        boxes, probs = int8_predict(m, images, cfg, rounding, backend)
         return nms.batched_postprocess(
             boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
             cfg.pre_nms_top_k, cfg.top_k)

@@ -1,0 +1,99 @@
+"""Batched multi-stream detection pipeline: frames -> boxes.
+
+The TPU-serving replacement for the reference's embedded camera loop
+(c_embedding/main.c:35-54: camera IRQ -> yolo_forward -> VGA draw): many
+camera/video streams feed a batcher; preprocessing runs in native C++
+threads (yolo_tpu.utils.native, falling back to numpy); the whole batch
+executes as one jitted int8 XLA program (conv -> decode -> NMS); host
+code only unpacks fixed-shape results.
+
+Double-buffering the host->device transfer against device compute plays
+the role of the reference's ping-pong BRAMs (yolo_forward.c:259-267).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from yolo_tpu.config import DetectorConfig
+
+
+class StreamingDetector:
+    """Batches frames and runs the fused int8 detect graph.
+
+    Args:
+      cfg: detector config (input size, thresholds, top_k).
+      detect_fn: jitted fn images[B,H,W,3]f32 (or int8) ->
+        (boxes, scores, classes, valid). Build with
+        yolo_tpu.quant.int8_graph.make_int8_detect_fn or Detector.detect.
+      batch_size: static batch the graph was compiled for.
+    """
+
+    def __init__(self, cfg: DetectorConfig, detect_fn: Callable,
+                 batch_size: int = 64, use_native: bool = True):
+        self.cfg = cfg
+        self.detect_fn = detect_fn
+        self.batch_size = batch_size
+        self._native = None
+        if use_native:
+            try:
+                from yolo_tpu.utils import native
+                if native.available():
+                    self._native = native
+            except Exception:
+                self._native = None
+
+    # -- preprocessing ------------------------------------------------------
+
+    def preprocess(self, frames: Sequence[np.ndarray]) -> np.ndarray:
+        """u8 BGR frames (any sizes) -> normalized float32 batch."""
+        if self._native is not None:
+            return self._native.preprocess_batch(list(frames),
+                                                 self.cfg.input_size)
+        from yolo_tpu.data.transforms import BaseTransform
+        t = BaseTransform(self.cfg.input_size)
+        return np.stack([t(f)[0] for f in frames])
+
+    # -- detection ----------------------------------------------------------
+
+    def detect_frames(self, frames: Sequence[np.ndarray]):
+        """Detect on a list of frames (padded to the static batch).
+
+        Returns a list of (boxes_px [K,4], scores [K], classes [K]) per
+        frame, thresholded to valid detections, boxes in original-frame
+        pixels.
+        """
+        n = len(frames)
+        batch = self.preprocess(frames)
+        if n < self.batch_size:
+            pad = np.zeros((self.batch_size - n,) + batch.shape[1:],
+                           batch.dtype)
+            batch = np.concatenate([batch, pad])
+        boxes, scores, classes, valid = (
+            np.asarray(a) for a in self.detect_fn(batch))
+        out = []
+        for i, frame in enumerate(frames):
+            h, w = frame.shape[:2]
+            keep = valid[i]
+            out.append((boxes[i][keep] * [w, h, w, h], scores[i][keep],
+                        classes[i][keep]))
+        return out
+
+    # -- throughput bench ----------------------------------------------------
+
+    def benchmark(self, frames: Sequence[np.ndarray], iters: int = 20):
+        """End-to-end host->device->host throughput (frames/sec)."""
+        import jax
+
+        batch = self.preprocess(frames[:self.batch_size])
+        jax.device_get(self.detect_fn(batch))  # warmup/compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            batch = self.preprocess(frames[:self.batch_size])
+            out = self.detect_fn(batch)
+        jax.device_get(out)
+        dt = time.perf_counter() - t0
+        return self.batch_size * iters / dt
