@@ -23,6 +23,17 @@ from yolo_tpu.train.trainer import (
 from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
 
+def _resize_batch(images: np.ndarray, size):
+    """Bilinear resize of an NHWC batch to a multi-scale bucket (the
+    reference uses F.interpolate on device, train.py:293)."""
+    import jax.numpy as jnp
+    b, _, _, c = images.shape
+    if images.shape[1:3] == tuple(size):
+        return images
+    return np.asarray(jax.image.resize(
+        jnp.asarray(images), (b, size[0], size[1], c), method="bilinear"))
+
+
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="yolo_tpu training")
     add_common_args(parser)
@@ -60,26 +71,53 @@ def train(args=None):
     evaluator = VOCEvaluator(val_dataset, cfg.num_classes, cfg.input_size)
 
     params = det.init_params(jax.random.PRNGKey(0))
+    resume_extra = None
     if args.resume:
         print(f"resuming from {args.resume}")
-        params, _ = load_checkpoint(args.resume)
+        params, resume_extra = load_checkpoint(args.resume)
 
     tc = TrainConfig(base_lr=args.lr, wp_epoch=args.wp_epoch,
                      max_epoch=args.max_epoch, cos=args.cos)
     mesh = make_mesh(data=args.mesh_data) if jax.device_count() > 1 else None
     opt, step = make_train_step(det.module, cfg, tc, mesh=mesh)
     opt_state = opt.init(params)
+    if resume_extra and "opt_state" in resume_extra:
+        # full resume incl. SGD momentum (the reference loses it,
+        # train.py:357-361 saves the bare state_dict)
+        from flax import serialization
+        opt_state = serialization.from_state_dict(
+            opt_state, resume_extra["opt_state"])
     if mesh is not None:
         params = shard_params(mesh, params)
         opt_state = shard_params(mesh, opt_state)
+
+    # multi-scale training: random re-bucketed input size every 10 iters
+    # (reference train.py:287-294); each size bucket gets its own cached
+    # jitted step (params/opt_state are size-independent).
+    ms_sizes = multi_scale_sizes() if args.multi_scale else None
+    ms_rng = np.random.default_rng(7)
+    cur_cfg = cfg
+    steps_by_size = {cfg.input_size: step}
+
+    def step_for(c):
+        if c.input_size not in steps_by_size:
+            steps_by_size[c.input_size] = make_train_step(
+                det.module, c, tc, mesh=mesh)[1]
+        return steps_by_size[c.input_size]
 
     epoch_size = max(len(loader), 1)
     best_map = -1.0
     for epoch in range(args.start_epoch, args.max_epoch):
         t_epoch = time.time()
         for it, (images, targets) in enumerate(loader):
+            if ms_sizes and it % 10 == 0:
+                size = ms_sizes[int(ms_rng.integers(len(ms_sizes)))]
+                cur_cfg = cfg.with_input_size(size)
+            if ms_sizes:
+                images = _resize_batch(images, cur_cfg.input_size)
+                step = step_for(cur_cfg)
             lr = lr_at(tc, epoch, it, epoch_size)
-            gt = build_targets(cfg, targets)
+            gt = build_targets(cur_cfg, targets)
             if mesh is not None:
                 images = shard_batch(mesh, images)
                 gt = shard_batch(mesh, gt)
@@ -104,9 +142,14 @@ def train(args=None):
             if mean_ap > best_map:
                 best_map = mean_ap
         if (epoch + 1) % 10 == 0 or epoch + 1 == args.max_epoch:
+            from flax import serialization
             path = os.path.join(
                 save_dir, f"{args.version}_{epoch + 1}.msgpack")
-            save_checkpoint(path, params)
+            save_checkpoint(path, params, extra={
+                "epoch": epoch + 1,
+                "opt_state": serialization.to_state_dict(
+                    jax.device_get(opt_state)),
+            })
             print(f"saved {path}")
         if args.debug:
             break

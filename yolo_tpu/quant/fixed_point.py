@@ -150,6 +150,46 @@ def int8_forward(m: Int8Model, x_q: jnp.ndarray,
     return out.astype(jnp.float32) * (2.0 ** -m.sa["pred"])
 
 
+def int8_forward_diagnostics(m: Int8Model, x_q: jnp.ndarray,
+                             rounding: str = "nearest"):
+    """int8 forward that also reports per-layer accumulator saturation.
+
+    The runtime fault-detection equivalent of the reference's find-mode
+    asserts (models/slim_yolo_v2.py:222-227): instead of crashing, it
+    returns (head, overflow) where overflow maps layer name -> count of
+    accumulator values that hit the int16 clamp this batch. Any nonzero
+    count means the retune table is too aggressive for this input
+    distribution.
+    """
+    out = x_q
+    names = list(TRACKER_NAMES)
+    pools = {name: pool for name, _, _, pool in CONV_LAYERS}
+    overflow = {}
+    for i, name in enumerate(QUANT_LAYER_NAMES):
+        sa_in, sa_out = m.sa[names[i]], m.sa[names[i + 1]]
+        r = m.retune[name]
+        acc = jax.lax.conv_general_dilated(
+            out.astype(jnp.int8), m.w_q[name],
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        acc = _shift(acc, m.sw[name] + sa_in - r, rounding, jnp)
+        acc = acc + _shift(m.b_q[name], m.sb[name] - r, rounding, jnp)
+        overflow[name] = jnp.sum(
+            (acc > INT16_MAX) | (acc < INT16_MIN)).astype(jnp.int32)
+        acc = jnp.clip(acc, INT16_MIN, INT16_MAX)
+        if name != "pred":
+            acc = _leaky_int(acc, rounding, jnp)
+        out = jnp.clip(_shift(acc, r - sa_out, rounding, jnp),
+                       INT8_MIN, INT8_MAX).astype(jnp.int8)
+        if name != "pred" and pools[name]:
+            out = jax.lax.reduce_window(
+                out, jnp.int8(INT8_MIN), jax.lax.max,
+                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    head = out.astype(jnp.float32) * (2.0 ** -m.sa["pred"])
+    return head, overflow
+
+
 def int8_forward_pallas(m: Int8Model, x_q: jnp.ndarray,
                         rounding: str = "nearest",
                         interpret: bool = False) -> jnp.ndarray:
