@@ -15,7 +15,7 @@ import numpy as np
 
 
 def bench(batch: int = 64, size: int = 416, iters: int = 30,
-          warmup: int = 5):
+          warmup: int = 5, backend: str = "xla"):
     import jax
 
     from yolo_tpu.config import get_config
@@ -25,8 +25,8 @@ def bench(batch: int = 64, size: int = 416, iters: int = 30,
 
     try:
         from yolo_tpu.quant.int8_graph import build_int8_detect
-        fn, params = build_int8_detect(cfg)
-        variant = "INT8"
+        fn, params = build_int8_detect(cfg, backend=backend)
+        variant = f"INT8/{backend}"
     except Exception:
         det = Detector(cfg)
         params = det.init_params(jax.random.PRNGKey(0))
@@ -63,4 +63,12 @@ def bench(batch: int = 64, size: int = 416, iters: int = 30,
 
 
 if __name__ == "__main__":
-    bench()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--size", type=int, default=416)
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    a = p.parse_args()
+    bench(batch=a.batch, size=a.size, iters=a.iters, backend=a.backend)

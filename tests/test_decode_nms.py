@@ -83,6 +83,21 @@ def test_ingraph_postprocess_matches_numpy_oracle(rng):
     np.testing.assert_array_equal(got_c, want_cls[order])
 
 
+def test_fast_nms_subset_of_greedy(rng):
+    """fast NMS can only suppress a superset of what greedy suppresses."""
+    boxes, probs = _random_detections(rng, 128, 3)
+    kw = dict(conf_thresh=0.3, nms_thresh=0.5, pre_nms_top_k=128,
+              top_k=128)
+    _, gs, _, gv = nms.postprocess_jax(
+        jnp.asarray(boxes), jnp.asarray(probs), mode="greedy", **kw)
+    _, fs, _, fv = nms.postprocess_jax(
+        jnp.asarray(boxes), jnp.asarray(probs), mode="fast", **kw)
+    greedy_scores = set(np.asarray(gs)[np.asarray(gv)].tolist())
+    fast_scores = set(np.asarray(fs)[np.asarray(fv)].tolist())
+    assert fast_scores <= greedy_scores
+    assert len(fast_scores) > 0
+
+
 def test_batched_postprocess_shapes(rng):
     boxes = np.stack([_random_detections(rng, 64, 3)[0] for _ in range(4)])
     probs = np.stack([_random_detections(rng, 64, 3)[1] for _ in range(4)])

@@ -2,13 +2,23 @@
 
 This is the MXU-native replacement for the reference's FPGA conv
 accelerator datapath (c_embedding/yolo_forward.c:575-770): one kernel
-computes conv3x3 (stride 1, pad 1) as nine shifted int8 matmuls with
-int32 accumulation in VMEM, then applies the hardware requantization
-chain in-register — accumulator shift to the retune scale, bias add,
-int16 saturation, LeakyReLU-as-arithmetic-shift, output shift, int8
-saturation — and writes int8. Activations live in HBM as int8 only;
-the int32 accumulator never leaves VMEM. (The XLA int8 conv path keeps
-int32 feature maps in HBM between ops, paying 4x the bandwidth.)
+computes conv3x3 (stride 1, pad 1) as nine int8 matmuls with int32
+accumulation in VMEM, then applies the hardware requantization chain
+in-register — accumulator shift to the retune scale, bias add, int16
+saturation, LeakyReLU-as-arithmetic-shift, output shift, int8
+saturation — and writes int8. Activations live in HBM as int8 only; the
+int32 accumulator never leaves VMEM.
+
+Kernel structure (speed notes):
+- The (row-tile x padded-width) plane is flattened to the matmul M dim,
+  so each of the 9 taps is ONE large [th*wp, C_in] x [C_in, C_out] MXU
+  matmul per grid step (not a per-row loop).
+- Vertical taps come from three dy-shifted input views prepared in XLA
+  (cheap int8 slices); horizontal taps are pltpu.roll by -dx on the
+  flattened plane — wrapped elements land only in padding columns.
+- Inputs/outputs use BlockSpec index maps, so Pallas double-buffers the
+  HBM<->VMEM streams automatically (the ping-pong BRAMs of
+  c_embedding/yolo_forward.c:259-267, done by the compiler).
 
 The per-layer shift amounts are trace-time constants (the scale_w/
 scale_a/retune exponent tables, c_embedding/yolo_forward.c:32-35), so
@@ -30,7 +40,7 @@ INT8_MIN, INT8_MAX = -128, 127
 
 
 def _shift_round_nearest(v, s: int):
-    """Integer multiply by 2^-s, round-half-away (s >= 0 static)."""
+    """Integer multiply by 2^-s, round-half-away (s static)."""
     if s == 0:
         return v
     if s < 0:
@@ -48,50 +58,42 @@ def _shift_floor(v, s: int):
     return jax.lax.shift_right_arithmetic(v, s)
 
 
-def _conv_kernel(x_hbm, w_ref, b_ref, out_ref, xs, sem, *,
-                 th: int, w_out: int, c_in: int, c_out: int,
+def _conv_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, out_ref, *,
+                 th: int, wp: int, c_in: int, c_out: int,
                  acc_shift: int, out_shift: int, leaky: bool,
                  rounding: str):
     """One grid step: rows [i*th, i*th+th) of one image.
 
-    x_hbm: [B, H+2, W+2, C_in] int8 (pre-padded).
-    w_ref: [9, C_in, C_out] int8 in VMEM (tap-major).
-    b_ref: [1, C_out] int32 — bias already shifted to the retune scale.
-    out_ref: [1, th, W, C_out] int8 block.
-    xs: VMEM scratch [th+2, W+2, C_in] int8.
+    x{0,1,2}_ref: [1, th, wp, C_in] int8 — dy-shifted input views.
+    w_ref: [9, C_in, C_out] int8 (tap-major).
+    b_ref: [1, C_out] int32 — bias already at the retune scale.
+    out_ref: [1, th, wp, C_out] int8 (padded width; caller crops).
     """
-    b = pl.program_id(0)
-    i = pl.program_id(1)
     shift = (_shift_round_nearest if rounding == "nearest"
              else _shift_floor)
+    m = th * wp
 
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * th, th + 2)], xs, sem)
-    cp.start()
-    cp.wait()
+    acc = jnp.zeros((m, c_out), jnp.int32)
+    for dy, x_ref in enumerate((x0_ref, x1_ref, x2_ref)):
+        flat = x_ref[0].reshape(m, c_in)
+        for dx in range(3):
+            p = jax.lax.dot_general(
+                flat, w_ref[dy * 3 + dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            # dot(roll(x, s), W) == roll(dot(x, W), s) (row permutation);
+            # Mosaic only rotates 32-bit data, so roll the int32 product.
+            # m-dx == -dx mod m (pltpu.roll needs shift >= 0).
+            acc = acc + (p if dx == 0 else pltpu.roll(p, m - dx, axis=0))
 
-    bias = b_ref[0, :]  # [C_out] int32 at retune scale
-
-    def row_body(r, _):
-        acc = jnp.zeros((w_out, c_out), jnp.int32)
-        for dy in range(3):
-            for dx in range(3):
-                lhs = xs[r + dy, pl.ds(dx, w_out), :]  # [W, C_in] int8
-                acc = acc + jax.lax.dot_general(
-                    lhs, w_ref[dy * 3 + dx],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-        # requant chain (c_embedding/yolo_forward.c:233-257 semantics)
-        acc = shift(acc, acc_shift) + bias[None, :]
-        acc = jnp.clip(acc, INT16_MIN, INT16_MAX)  # int16 accumulator
-        if leaky:
-            acc = jnp.where(acc >= 0, acc, shift(acc, 3))
-        out = jnp.clip(shift(acc, out_shift), INT8_MIN, INT8_MAX)
-        out_ref[0, r] = out.astype(jnp.int8)
-        return 0
-
-    jax.lax.fori_loop(0, th, row_body, 0)
+    # requant chain (c_embedding/yolo_forward.c:233-257 semantics)
+    acc = shift(acc, acc_shift) + b_ref[0][None, :]
+    acc = jnp.clip(acc, INT16_MIN, INT16_MAX)  # int16 accumulator
+    if leaky:
+        acc = jnp.where(acc >= 0, acc, shift(acc, 3))
+    out = jnp.clip(shift(acc, out_shift), INT8_MIN, INT8_MAX)
+    out_ref[0] = out.astype(jnp.int8).reshape(th, wp, c_out)
 
 
 def int8_conv3x3_requant(x_q: jnp.ndarray, w_q: jnp.ndarray,
@@ -111,58 +113,63 @@ def int8_conv3x3_requant(x_q: jnp.ndarray, w_q: jnp.ndarray,
     """
     b, h, w, c_in = x_q.shape
     c_out = w_q.shape[-1]
-    th = row_tile or max(1, min(16, h))
+    if row_tile is None:
+        # target ~512 rows of M per matmul, honoring VMEM
+        row_tile = max(1, min(h, max(1, 4096 // max(w, 1))))
+    th = row_tile
     while h % th:
         th -= 1
 
-    # pad spatially (the kernel reads [th+2, W+2] windows); the padded
-    # width is rounded up to 32 — HBM DMA slices must be tile-aligned in
-    # the sublane dim.
+    # horizontal pad: wp >= w+2, multiple of 32 so int8 HBM slices and the
+    # flattened sublane dim stay tile-aligned; extra columns are zeros and
+    # absorb the roll wrap-around.
     wp = -(-(w + 2) // 32) * 32
     x_pad = jnp.pad(x_q, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    # three dy-shifted views (cheap int8 copies; enables non-overlapping
+    # auto-pipelined blocks)
+    views = [jax.lax.slice_in_dim(x_pad, dy, dy + h, axis=1)
+             for dy in range(3)]
+
     w_taps = w_q.reshape(9, c_in, c_out)
     # bias at retune scale, computed exactly in int32 on the host graph
     bofs = sb - retune
     b32 = b_q.astype(jnp.int32)
     if bofs <= 0:
         bias_rt = b32 * (1 << -bofs)
+    elif rounding == "floor":
+        bias_rt = b32 >> bofs
     else:
         off = 1 << (bofs - 1)
         bias_rt = jnp.sign(b32) * ((jnp.abs(b32) + off) >> bofs)
-        if rounding == "floor":
-            bias_rt = b32 >> bofs
     bias_rt = bias_rt.reshape(1, c_out)
 
-    acc_shift = sa_in + sw - retune
-    out_shift = retune - sa_out
-
     kernel = functools.partial(
-        _conv_kernel, th=th, w_out=w, c_in=c_in, c_out=c_out,
-        acc_shift=acc_shift, out_shift=out_shift, leaky=leaky,
-        rounding=rounding)
+        _conv_kernel, th=th, wp=wp, c_in=c_in, c_out=c_out,
+        acc_shift=sa_in + sw - retune, out_shift=retune - sa_out,
+        leaky=leaky, rounding=rounding)
 
-    flops = 2 * b * h * w * c_in * c_out * 9
-    return pl.pallas_call(
+    x_spec = pl.BlockSpec((1, th, wp, c_in), lambda bb, ii: (bb, ii, 0, 0),
+                          memory_space=pltpu.VMEM)
+    flops = 2 * b * h * wp * c_in * c_out * 9
+    out_padded = pl.pallas_call(
         kernel,
         grid=(b, h // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
-            pl.BlockSpec((9, c_in, c_out),
-                         lambda bb, ii: (0, 0, 0),
+            x_spec, x_spec, x_spec,
+            pl.BlockSpec((9, c_in, c_out), lambda bb, ii: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_out), lambda bb, ii: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, th, w, c_out),
+        out_specs=pl.BlockSpec((1, th, wp, c_out),
                                lambda bb, ii: (bb, ii, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c_out), jnp.int8),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2, wp, c_in), jnp.int8),
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, h, wp, c_out), jnp.int8),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=x_q.size + w_q.size +
-            b * h * w * c_out, transcendentals=0),
+            flops=flops,
+            bytes_accessed=3 * b * h * wp * c_in + 9 * c_in * c_out +
+            b * h * wp * c_out,
+            transcendentals=0),
         interpret=interpret,
-    )(x_pad, w_taps, bias_rt)
+    )(views[0], views[1], views[2], w_taps, bias_rt)
+    return jax.lax.slice_in_dim(out_padded, 0, w, axis=2)

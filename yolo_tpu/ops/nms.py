@@ -99,7 +99,8 @@ def _pairwise_iou(boxes: jnp.ndarray) -> jnp.ndarray:
 
 def postprocess_jax(boxes: jnp.ndarray, class_probs: jnp.ndarray,
                     conf_thresh: float, nms_thresh: float,
-                    pre_nms_top_k: int = 512, top_k: int = 100):
+                    pre_nms_top_k: int = 512, top_k: int = 100,
+                    mode: str = "greedy"):
     """Single-image in-graph postprocess.
 
     Args:
@@ -128,12 +129,23 @@ def postprocess_jax(boxes: jnp.ndarray, class_probs: jnp.ndarray,
     suppress = (iou > nms_thresh) & same_cls
     lower_tri = jnp.tril(jnp.ones((k, k), bool), k=-1)  # j < i positions
 
-    def body(i, keep):
-        # kept, higher-scored, same-class neighbor with IoU > thresh?
-        sup = jnp.any(keep & suppress[:, i] & lower_tri[i])
-        return keep.at[i].set(valid[i] & ~sup)
+    if mode == "greedy":
+        # exact greedy NMS (reference semantics): sequential over rank
+        def body(i, keep):
+            # kept, higher-scored, same-class neighbor with IoU > thresh?
+            sup = jnp.any(keep & suppress[:, i] & lower_tri[i])
+            return keep.at[i].set(valid[i] & ~sup)
 
-    keep = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
+        keep = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
+    elif mode == "fast":
+        # YOLACT-style fast NMS: one parallel matrix reduction — a box is
+        # kept iff no higher-scored same-class box overlaps it, whether or
+        # not that box itself survives. Slightly over-suppresses vs greedy
+        # but has no sequential dependency (serving-latency option).
+        sup = jnp.any(suppress & lower_tri.T, axis=0)  # any j<i suppressor
+        keep = valid & ~sup
+    else:
+        raise ValueError(f"unknown nms mode {mode!r}")
 
     final_scores = jnp.where(keep, scores, 0.0)
     out_scores, out_idx = jax.lax.top_k(final_scores, min(top_k, k))
@@ -149,13 +161,13 @@ def postprocess_jax(boxes: jnp.ndarray, class_probs: jnp.ndarray,
     return out_boxes, out_scores, out_cls, out_valid
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def batched_postprocess(boxes, class_probs, conf_thresh, nms_thresh,
-                        pre_nms_top_k=512, top_k=100):
+                        pre_nms_top_k=512, top_k=100, mode="greedy"):
     """vmapped postprocess over the batch: [B, N, 4] x [B, N, C] ->
     fixed-shape (boxes [B, K, 4], scores [B, K], classes [B, K],
     valid [B, K])."""
     fn = partial(postprocess_jax, conf_thresh=conf_thresh,
                  nms_thresh=nms_thresh, pre_nms_top_k=pre_nms_top_k,
-                 top_k=top_k)
+                 top_k=top_k, mode=mode)
     return jax.vmap(fn)(boxes, class_probs)

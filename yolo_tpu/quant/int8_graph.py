@@ -81,7 +81,8 @@ def quantize_pipeline(params_fp32, cfg: DetectorConfig,
 def build_int8_detect(cfg: DetectorConfig,
                       params_fp32=None,
                       calib_batches: Optional[Iterable] = None,
-                      rounding: str = "nearest") -> Tuple:
+                      rounding: str = "nearest",
+                      backend: str = "xla") -> Tuple:
     """Convenience/bench entry: returns (jitted fn(params_ignored, images),
     Int8Model). Without trained params, random weights + synthetic
     calibration produce a structurally-real int8 graph (for perf work)."""
@@ -95,7 +96,7 @@ def build_int8_detect(cfg: DetectorConfig,
         calib_batches = [
             rng.random((8, h, w, 3), dtype=np.float32) for _ in range(4)]
     m = quantize_pipeline(params_fp32, cfg, calib_batches)
-    detect = make_int8_detect_fn(m, cfg, rounding)
+    detect = make_int8_detect_fn(m, cfg, rounding, backend)
 
     def fn(_params, images):
         return detect(images)
