@@ -14,14 +14,17 @@ import time
 import numpy as np
 
 
-def bench(batch: int = 64, size: int = 416, iters: int = 30,
+def bench(batch: int = 128, size: int = 416, iters: int = 30,
           warmup: int = 5, backend: str = "xla"):
     import jax
 
     from yolo_tpu.config import get_config
     from yolo_tpu.detector import Detector
 
-    cfg = get_config("slim_yolo_v2", "mask", input_size=(size, size))
+    # pre_nms_top_k 256 is plenty for 2-class mask detection and trims
+    # the NMS tail; batch 128 amortizes the per-dispatch tunnel latency.
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(size, size),
+                     pre_nms_top_k=256)
 
     try:
         from yolo_tpu.quant.int8_graph import build_int8_detect
@@ -66,7 +69,7 @@ if __name__ == "__main__":
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--size", type=int, default=416)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--backend", default="xla", choices=["xla", "pallas"])

@@ -116,3 +116,36 @@ def load_torch_darknet19(path: str):
             seq.append(_map_conv_block(sd, f"{name}.{j}", has_bn=True))
         params[name] = seq
     return params
+
+
+def load_torch_darknet53(path: str):
+    """Reference darknet53 ImageNet checkpoint -> backbone pytree
+    (backbone/darknet.py:110-159: 'layer_N.0' entry conv, then resblocks
+    as 'layer_N.M.module_list.K.{0,1}')."""
+    from yolo_tpu.models.darknet import _D53_LAYERS
+
+    sd = _read_torch_state_dict(path)
+    params = {}
+    for name, entry, ch, nblocks in _D53_LAYERS:
+        seq = [_map_conv_block(sd, f"{name}.{j}", has_bn=True)
+               for j in range(len(entry))]
+        # resblocks live in one nn.ModuleList module at the next index
+        res_base = f"{name}.{len(entry)}.module_list"
+        blocks = []
+        for k in range(nblocks):
+            blocks.append([
+                _map_conv_block(sd, f"{res_base}.{k}.0", has_bn=True),
+                _map_conv_block(sd, f"{res_base}.{k}.1", has_bn=True),
+            ])
+        params[name] = {"entry": seq, "blocks": blocks}
+    return params
+
+
+def load_torch_darknet_light(path: str):
+    """Reference darknet_light checkpoint -> backbone pytree
+    (backbone/darknet.py:211-255: plain 'conv_N.convs.K.*' blocks)."""
+    from yolo_tpu.models.darknet import _DLIGHT_SPECS
+
+    sd = _read_torch_state_dict(path)
+    return {name: [_map_conv_block(sd, name, has_bn=True)]
+            for name in _DLIGHT_SPECS}
