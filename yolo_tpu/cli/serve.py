@@ -1,0 +1,85 @@
+"""Streaming serving benchmark/demo: batched multi-stream detection.
+
+The BASELINE.json "batched multi-stream camera pipeline" config: frames
+(camera, video, or synthetic) -> native preprocess -> one jitted INT8
+detect at a fixed batch -> per-frame boxes.
+
+python -m yolo_tpu.cli.serve -d synthetic --batch 64 --iters 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from yolo_tpu.cli.common import add_common_args, build_cfg
+from yolo_tpu.serving import StreamingDetector
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="yolo_tpu serving bench")
+    add_common_args(parser)
+    parser.add_argument("--trained_model", default=None)
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--source", default="synthetic",
+                        help="synthetic | video path | camera index")
+    parser.add_argument("--fp32", action="store_true", default=False,
+                        help="serve the FP32 graph instead of INT8")
+    return parser.parse_args(argv)
+
+
+def _frames(args, cfg, n):
+    if args.source == "synthetic":
+        rng = np.random.default_rng(0)
+        return [rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+                for _ in range(n)]
+    import cv2
+    src = int(args.source) if args.source.isdigit() else args.source
+    cap = cv2.VideoCapture(src)
+    frames = []
+    while len(frames) < n:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(f)
+    cap.release()
+    return frames
+
+
+def main(args=None):
+    args = args or parse_args()
+    cfg = build_cfg(args)
+
+    import jax
+
+    if args.fp32:
+        from yolo_tpu.cli.eval import load_params
+        from yolo_tpu.detector import Detector
+        det = Detector(cfg)
+        params = load_params(args, det)
+        detect = lambda im: det.detect(params, im)  # noqa: E731
+    else:
+        from yolo_tpu.quant.int8_graph import build_int8_detect
+        fn, _ = build_int8_detect(cfg)
+        detect = lambda im: fn(None, im)  # noqa: E731
+
+    sd = StreamingDetector(cfg, detect, batch_size=args.batch)
+    frames = _frames(args, cfg, args.batch)
+    print(f"native preprocess: {sd._native is not None}")
+
+    results = sd.detect_frames(frames[:4])
+    for i, (boxes, scores, classes) in enumerate(results):
+        print(f"frame {i}: {len(scores)} detections")
+
+    fps = sd.benchmark(frames, iters=args.iters)
+    print(f"end-to-end throughput: {fps:.1f} frames/sec "
+          f"(batch {args.batch}, {cfg.input_size[0]}x{cfg.input_size[1]},"
+          f" {'FP32' if args.fp32 else 'INT8'})")
+    return fps
+
+
+if __name__ == "__main__":
+    main()

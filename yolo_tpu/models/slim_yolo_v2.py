@@ -75,8 +75,7 @@ def forward(params, x, cfg, train: bool = False):
             out = blocks.conv_block(params[name], out, padding=1)
         if pool:
             out = blocks.max_pool(out, 2, 2)
-    pred = blocks.conv2d(out, params["pred"]["w"], params["pred"]["b"],
-                         padding=1)
+    pred = blocks.pred_conv(params["pred"], out, padding=1)
     outputs = [pred]
     if train:
         return outputs, new_params

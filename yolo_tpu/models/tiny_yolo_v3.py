@@ -55,8 +55,8 @@ def forward(params, x, cfg, train: bool = False):
 
     e2, new["extra_conv_2"] = run_block(params["extra_conv_2"], c5h, train,
                                         padding=1)
-    pred_2 = blocks.conv2d(e2, params["pred_2"]["w"], params["pred_2"]["b"])
-    pred_1 = blocks.conv2d(c4h, params["pred_1"]["w"], params["pred_1"]["b"])
+    pred_2 = blocks.pred_conv(params["pred_2"], e2)
+    pred_1 = blocks.pred_conv(params["pred_1"], c4h)
 
     outputs = [pred_1, pred_2]  # [s16, s32]
     if train:

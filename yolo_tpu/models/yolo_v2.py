@@ -47,7 +47,7 @@ def forward(params, x, cfg, train: bool = False):
     fp = jnp.concatenate([fp1, fp2], axis=-1)
     fp, new["convsets_2"] = run_seq(
         params["convsets_2"], fp, _CONVSETS_2, train)
-    pred = blocks.conv2d(fp, params["pred"]["w"], params["pred"]["b"])
+    pred = blocks.pred_conv(params["pred"], fp)
     outputs = [pred]
     if train:
         new["pred"] = params["pred"]

@@ -88,9 +88,9 @@ def _forward(params, x, cfg, train, conv_set_3, use_spp):
                                         padding=1)
     e1, new["extra_conv_1"] = run_block(params["extra_conv_1"], fmp1, train,
                                         padding=1)
-    pred_3 = blocks.conv2d(e3, params["pred_3"]["w"], params["pred_3"]["b"])
-    pred_2 = blocks.conv2d(e2, params["pred_2"]["w"], params["pred_2"]["b"])
-    pred_1 = blocks.conv2d(e1, params["pred_1"]["w"], params["pred_1"]["b"])
+    pred_3 = blocks.pred_conv(params["pred_3"], e3)
+    pred_2 = blocks.pred_conv(params["pred_2"], e2)
+    pred_1 = blocks.pred_conv(params["pred_1"], e1)
 
     outputs = [pred_1, pred_2, pred_3]  # fine -> coarse, STRIDES order
     if train:

@@ -134,6 +134,34 @@ def batch_norm_train(x, bn, momentum: float = 0.1):
     return y.astype(x.dtype), new_bn
 
 
+# Active quantization context (trace-time hook). When set, every
+# conv_block output passes through an activation-range tracker tap —
+# this is how the generic PTQ simulation instruments *any* model without
+# per-model code (the reference instead hand-inserts AveragedRangeTracker
+# modules into one model class, models/slim_yolo_v2.py:58-89).
+_QUANT_TAP = None
+
+
+class quantization_context:
+    """``with quantization_context(tap): model.forward(...)`` — ``tap``
+    is called with each conv block's activation (in call order) and
+    returns the (fake-quantized) activation."""
+
+    def __init__(self, tap):
+        self.tap = tap
+
+    def __enter__(self):
+        global _QUANT_TAP
+        self._prev = _QUANT_TAP
+        _QUANT_TAP = self.tap
+        return self.tap
+
+    def __exit__(self, *exc):
+        global _QUANT_TAP
+        _QUANT_TAP = self._prev
+        return False
+
+
 def conv_block(params, x, stride: int = 1, padding: int = 0,
                slope: float = MODEL_LEAKY_SLOPE, train: bool = False):
     """Conv(+BN)+LeakyReLU block (reference utils/modules.py Conv2d /
@@ -155,8 +183,20 @@ def conv_block(params, x, stride: int = 1, padding: int = 0,
         y = jnp.maximum(y, 0.0)
     else:
         y = leaky_relu(y, slope)
+    if _QUANT_TAP is not None:
+        y = _QUANT_TAP(y)
     if train:
         return y, (new_params if new_params is not None else params)
+    return y
+
+
+def pred_conv(params, x, padding: int = 0):
+    """Prediction-head conv (biased, no activation) with the quantization
+    tap applied when a context is active (the reference's a_tracker_pred,
+    models/slim_yolo_v2.py:89,328)."""
+    y = conv2d(x, params["w"], params["b"], padding=padding)
+    if _QUANT_TAP is not None:
+        y = _QUANT_TAP(y)
     return y
 
 

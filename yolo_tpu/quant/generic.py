@@ -1,0 +1,147 @@
+"""Model-agnostic post-training quantization (all five architectures).
+
+The reference only quantizes slim_yolo_v2, by hand-inserting tracker
+modules into a dedicated class (models/slim_yolo_v2.py:40-89). Here the
+instrumentation is generic: a trace-time quantization context taps every
+conv block / prediction head in call order (ops/blocks.py), so the same
+pow2 fake-quant semantics — weight/bias per-tensor pow2 scales +
+EMA-tracked activation scales — apply to ANY model module, including the
+v3 FPN family (the BASELINE.json tiny_yolo_v3 / yolo_v3(-spp) INT8
+configs).
+
+Note on "INT8": this is the float fake-quant simulation — exactly what
+the reference's quantized Python model computes (its true-integer path
+exists only in the C engine). The bit-true integer engine
+(quant/fixed_point.py) remains specific to the FPGA deployment net.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tpu.ops import blocks
+from yolo_tpu.quant import quantize as q
+
+
+def fake_quantize_all_convs(params, bitwidth: int = 8):
+    """Fake-quantize every conv weight/bias in an arbitrary pytree
+    (pow2 per-tensor scales). BN params are left alone — fold first for
+    reference-parity quantization of BN models."""
+    if isinstance(params, dict):
+        if "w" in params:
+            out = dict(params)
+            out["w"] = q.fake_quantize(params["w"], bitwidth)
+            if "b" in params:
+                out["b"] = q.fake_quantize(params["b"], bitwidth)
+            return out
+        return {k: fake_quantize_all_convs(v, bitwidth)
+                for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        return type(params)(fake_quantize_all_convs(v, bitwidth)
+                            for v in params)
+    return params
+
+
+class _Tap:
+    """Call-ordered activation tracker tap used during tracing."""
+
+    def __init__(self, states: List[dict], update: bool, bitwidth: int):
+        self.states = states
+        self.update = update
+        self.bitwidth = bitwidth
+        self.idx = 0
+        self.new_states: List[dict] = []
+
+    def __call__(self, act):
+        state = (self.states[self.idx] if self.idx < len(self.states)
+                 else q.tracker_init())
+        val, new = q.tracker_quantize(state, act, self.bitwidth,
+                                      update=self.update)
+        self.new_states.append(new)
+        self.idx += 1
+        return val
+
+
+def quant_forward_generic(module, params_q, x, cfg, states: List[dict],
+                          update: bool = False, bitwidth: int = 8):
+    """Quantized (fake-quant) forward of any model module.
+
+    ``states`` is the call-ordered list of tracker states (index 0 is the
+    model input tap; the rest follow conv call order). Returns
+    (outputs, new_states)."""
+    tap = _Tap(states[1:] if states else [], update, bitwidth)
+    in_state = states[0] if states else q.tracker_init()
+    x, new_in = q.tracker_quantize(in_state, x, bitwidth, update=update)
+    with blocks.quantization_context(tap):
+        outs = module.forward(params_q, x, cfg)
+    return outs, [new_in] + tap.new_states
+
+
+def calibrate_generic(module, params_q, cfg, batches: Iterable,
+                      max_images: int = 1000, bitwidth: int = 8):
+    """EMA max-calibration over ~max_images images; returns final tracker
+    state list (reference retune_bias_quantize.py:324-369 semantics)."""
+    # bootstrap: one eager pass only to discover the number of taps; the
+    # EMA itself starts fresh so the first real batch initializes it
+    # (matching the reference's first_a semantics).
+    first = next(iter(batches)) if not isinstance(batches, list) \
+        else batches[0]
+    _, probe = quant_forward_generic(module, params_q,
+                                     jnp.asarray(first[:1]), cfg, [],
+                                     update=True, bitwidth=bitwidth)
+    states = [q.tracker_init() for _ in probe]
+
+    @jax.jit
+    def step(states, x):
+        _, new_states = quant_forward_generic(
+            module, params_q, x, cfg, states, update=True,
+            bitwidth=bitwidth)
+        return new_states
+
+    seen = 0
+    for x in batches:
+        states = step(states, jnp.asarray(x))
+        seen += x.shape[0]
+        if seen > max_images:
+            break
+    return jax.device_get(states)
+
+
+def quantize_detector(det, params, calib_batches, fold_bn: bool = True,
+                      max_images: int = 1000, bitwidth: int = 8):
+    """Full generic PTQ: (fold BN ->) fake-quant weights -> calibrate.
+
+    Returns (params_q, tracker_states, detect_fn) where detect_fn is the
+    jitted quantized batched detector with the same signature as
+    Detector.detect's body."""
+    from yolo_tpu import detector as D
+    from yolo_tpu.ops import decode, nms
+    from yolo_tpu.quant.bn_fold import fold_batch_norm
+
+    fused = fold_batch_norm(params) if fold_bn else params
+    params_q = fake_quantize_all_convs(fused, bitwidth)
+    states = calibrate_generic(det.module, params_q, det.cfg,
+                               list(calib_batches), max_images, bitwidth)
+    cfg = det.cfg
+
+    class _QModule:
+        STRIDES = det.module.STRIDES
+
+        @staticmethod
+        def forward(p, x, cfg, train=False):
+            assert not train
+            outs, _ = quant_forward_generic(det.module, p, x, cfg, states)
+            return outs
+
+    @jax.jit
+    def detect_fn(images):
+        boxes, probs = D.predict(_QModule, params_q, images, cfg)
+        return nms.batched_postprocess(
+            boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
+            cfg.pre_nms_top_k, cfg.top_k)
+
+    return params_q, states, detect_fn
