@@ -44,16 +44,17 @@ def main(epochs: int = 40, size: int = 64, batch: int = 16):
     det = Detector(cfg)
     params = det.init_params(jax.random.PRNGKey(0))
 
+    # plain transform: synthetic classes are color-coded, so photometric
+    # augmentation would erase the class signal
     train_ds = SyntheticDetection((size, size), num_classes=2, length=128,
-                                  transform=SSDAugmentation((size, size),
-                                                            seed=3))
+                                  transform=BaseTransform((size, size)))
     val_ds = SyntheticDetection((size, size), num_classes=2, length=48,
                                 transform=BaseTransform((size, size)),
                                 seed=99)
     loader = BatchLoader(train_ds, batch, num_workers=4)
     evaluator = VOCEvaluator(val_ds, 2, (size, size), batch_size=16)
 
-    tc = TrainConfig(base_lr=2e-3, wp_epoch=2, cos=True, max_epoch=epochs)
+    tc = TrainConfig(base_lr=1e-3, wp_epoch=2, cos=True, max_epoch=epochs)
     opt, step = make_train_step(det.module, cfg, tc, donate=False)
     opt_state = opt.init(params)
     t0 = time.time()

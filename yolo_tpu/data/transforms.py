@@ -65,6 +65,36 @@ def to_rgb(image: np.ndarray) -> np.ndarray:
     return image[:, :, ::-1].copy()
 
 
+def letterbox(image: np.ndarray, size, pad_value: int = 114):
+    """Aspect-preserving resize + centered pad to ``size`` (h, w).
+
+    Returns (canvas u8, scale, (pad_x, pad_y)) — the mapping needed to
+    project detections back to the original frame. (The reference uses a
+    plain stretching resize; letterboxing is the production-serving
+    upgrade the BASELINE 'fused letterbox' config asks for.)
+    """
+    h, w = size
+    ih, iw = image.shape[:2]
+    scale = min(h / ih, w / iw)
+    rh, rw = int(round(ih * scale)), int(round(iw * scale))
+    resized = _resize(image, (rh, rw)).astype(image.dtype)
+    canvas = np.full((h, w, image.shape[2]), pad_value, image.dtype)
+    py, px = (h - rh) // 2, (w - rw) // 2
+    canvas[py:py + rh, px:px + rw] = resized
+    return canvas, scale, (px, py)
+
+
+def unletterbox_boxes(boxes_norm: np.ndarray, size, scale, pads):
+    """Map normalized boxes on the letterboxed canvas back to original
+    frame pixel coordinates."""
+    h, w = size
+    px, py = pads
+    b = boxes_norm * [w, h, w, h]
+    b[:, 0::2] -= px
+    b[:, 1::2] -= py
+    return b / scale
+
+
 class BaseTransform:
     """Eval-time transform (reference data/__init__.py:49-56) with the
     dataset's BGR->RGB flip folded in so callers get model-ready arrays."""

@@ -41,18 +41,29 @@ def int8_predict(m: fp.Int8Model, images, cfg: DetectorConfig,
 
 
 def make_int8_detect_fn(m: fp.Int8Model, cfg: DetectorConfig,
-                        rounding: str = "nearest", backend: str = "xla"):
+                        rounding: str = "nearest", backend: str = "xla",
+                        mesh=None):
     """Jitted end-to-end int8 detector:
-    images [B, H, W, 3] float -> (boxes, scores, classes, valid)."""
+    images [B, H, W, 3] float -> (boxes, scores, classes, valid).
 
-    @jax.jit
-    def detect(images):
+    With ``mesh``, the batch shards over the 'data' axis (multi-chip
+    serving): weights replicate, each chip runs its slice of the batch
+    through conv+decode+NMS, outputs stay batch-sharded."""
+
+    def body(images):
         boxes, probs = int8_predict(m, images, cfg, rounding, backend)
         return nms.batched_postprocess(
             boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
             cfg.pre_nms_top_k, cfg.top_k)
 
-    return detect
+    if mesh is None:
+        return jax.jit(body)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(body, in_shardings=batch_sh,
+                   out_shardings=(batch_sh,) * 4)
 
 
 def quantize_pipeline(params_fp32, cfg: DetectorConfig,

@@ -33,10 +33,13 @@ class StreamingDetector:
     """
 
     def __init__(self, cfg: DetectorConfig, detect_fn: Callable,
-                 batch_size: int = 64, use_native: bool = True):
+                 batch_size: int = 64, use_native: bool = True,
+                 letterbox: bool = False):
         self.cfg = cfg
         self.detect_fn = detect_fn
         self.batch_size = batch_size
+        self.letterbox = letterbox
+        self._lb_meta = None
         self._native = None
         if use_native:
             try:
@@ -50,10 +53,21 @@ class StreamingDetector:
 
     def preprocess(self, frames: Sequence[np.ndarray]) -> np.ndarray:
         """u8 BGR frames (any sizes) -> normalized float32 batch."""
+        from yolo_tpu.data.transforms import BaseTransform, letterbox
+
+        if self.letterbox:
+            canvases, metas = [], []
+            for f in frames:
+                canvas, scale, pads = letterbox(f, self.cfg.input_size)
+                canvases.append(canvas)
+                metas.append((scale, pads))
+            self._lb_meta = metas
+            frames = canvases
+            # letterboxed canvases all share the input size; the native
+            # path then only normalizes/flips
         if self._native is not None:
             return self._native.preprocess_batch(list(frames),
                                                  self.cfg.input_size)
-        from yolo_tpu.data.transforms import BaseTransform
         t = BaseTransform(self.cfg.input_size)
         return np.stack([t(f)[0] for f in frames])
 
@@ -78,8 +92,16 @@ class StreamingDetector:
         for i, frame in enumerate(frames):
             h, w = frame.shape[:2]
             keep = valid[i]
-            out.append((boxes[i][keep] * [w, h, w, h], scores[i][keep],
-                        classes[i][keep]))
+            kept = boxes[i][keep]
+            if self.letterbox and self._lb_meta:
+                from yolo_tpu.data.transforms import unletterbox_boxes
+                scale, pads = self._lb_meta[i]
+                px_boxes = unletterbox_boxes(kept.copy(),
+                                             self.cfg.input_size, scale,
+                                             pads)
+            else:
+                px_boxes = kept * [w, h, w, h]
+            out.append((px_boxes, scores[i][keep], classes[i][keep]))
         return out
 
     # -- throughput bench ----------------------------------------------------
