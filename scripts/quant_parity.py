@@ -38,7 +38,11 @@ from yolo_tpu.train.targets import build_targets
 from yolo_tpu.train.trainer import TrainConfig, lr_at, make_train_step
 
 
-def main(epochs: int = 40, size: int = 64, batch: int = 16):
+def main(epochs: int = 40, size: int = 64, batch: int = 16,
+         ckpt: str = "/tmp/quant_parity_params.msgpack",
+         skip_train: bool = False):
+    from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
     cfg = get_config("slim_yolo_v2", "mask", input_size=(size, size),
                      conf_thresh=0.01)
     det = Detector(cfg)
@@ -54,20 +58,26 @@ def main(epochs: int = 40, size: int = 64, batch: int = 16):
     loader = BatchLoader(train_ds, batch, num_workers=4)
     evaluator = VOCEvaluator(val_ds, 2, (size, size), batch_size=16)
 
-    tc = TrainConfig(base_lr=1e-3, wp_epoch=2, cos=True, max_epoch=epochs)
-    opt, step = make_train_step(det.module, cfg, tc, donate=False)
-    opt_state = opt.init(params)
-    t0 = time.time()
-    for epoch in range(epochs):
-        for it, (images, targets) in enumerate(loader):
-            lr = lr_at(tc, epoch, it, len(loader))
-            gt = build_targets(cfg, targets)
-            params, opt_state, metrics = step(params, opt_state, images,
-                                              gt, lr)
-        if (epoch + 1) % 10 == 0:
-            print(f"epoch {epoch + 1}: loss="
-                  f"{float(metrics['total_loss']):.3f} "
-                  f"({time.time() - t0:.0f}s)", flush=True)
+    if skip_train and os.path.exists(ckpt):
+        params, _ = load_checkpoint(ckpt)
+        print(f"loaded {ckpt}")
+    else:
+        tc = TrainConfig(base_lr=1e-3, wp_epoch=2, cos=True,
+                         max_epoch=epochs)
+        opt, step = make_train_step(det.module, cfg, tc, donate=False)
+        opt_state = opt.init(params)
+        t0 = time.time()
+        for epoch in range(epochs):
+            for it, (images, targets) in enumerate(loader):
+                lr = lr_at(tc, epoch, it, len(loader))
+                gt = build_targets(cfg, targets)
+                params, opt_state, metrics = step(params, opt_state,
+                                                  images, gt, lr)
+            if (epoch + 1) % 10 == 0:
+                print(f"epoch {epoch + 1}: loss="
+                      f"{float(metrics['total_loss']):.3f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+        save_checkpoint(ckpt, params)
 
     results = {}
     results["fp32"] = evaluator.evaluate(
@@ -102,6 +112,22 @@ def main(epochs: int = 40, size: int = 64, batch: int = 16):
     results["int8_fakequant"] = evaluator.evaluate(
         lambda im: _fq_detect(np.asarray(im, np.float32)))
 
+    # diagnostics: isolate weight-quant vs activation-quant damage
+    results["weights_only_q"] = evaluator.evaluate(
+        lambda im: det_f.detect(params_q, im))
+
+    qmod_a = qsim.make_quant_module(fused, states)
+
+    @jax.jit
+    def _aq_detect(images):
+        boxes, probs = D.predict(qmod_a, fused, images, cfg)
+        return _nms.batched_postprocess(
+            boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
+            cfg.pre_nms_top_k, cfg.top_k)
+
+    results["acts_only_q"] = evaluator.evaluate(
+        lambda im: _aq_detect(np.asarray(im, np.float32)))
+
     # true integer engine
     detect_int8 = make_int8_detect_fn(m, cfg)
     results["int8_integer"] = evaluator.evaluate(
@@ -122,4 +148,6 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--size", type=int, default=64)
-    main(epochs=p.parse_args().epochs)
+    p.add_argument("--skip_train", action="store_true", default=False)
+    a = p.parse_args()
+    main(epochs=a.epochs, size=a.size, skip_train=a.skip_train)
