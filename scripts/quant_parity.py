@@ -133,14 +133,22 @@ def main(epochs: int = 40, size: int = 64, batch: int = 16,
     results["int8_integer"] = evaluator.evaluate(
         lambda im: detect_int8(np.asarray(im, np.float32)))
 
+    # integer engine with the head-clip tracker (objectness logits
+    # saturate through sigmoid, so capping their tracked range buys the
+    # box/class channels ~8x finer resolution)
+    m_hc = quantize_pipeline(params, cfg, calib, head_clip=16.0)
+    detect_int8_hc = make_int8_detect_fn(m_hc, cfg)
+    results["int8_headclip"] = evaluator.evaluate(
+        lambda im: detect_int8_hc(np.asarray(im, np.float32)))
+
     print("\n=== mAP by stage ===")
     for k, v in results.items():
         print(f"{k:>16}: {v:.4f}  (delta vs fp32: "
               f"{(v - results['fp32']) * 100:+.2f} points)")
-    delta = abs(results["int8_integer"] - results["fp32"]) * 100
-    print(f"\nint8 integer-engine delta: {delta:.2f} mAP points "
-          f"({'PASS' if delta < 0.5 or results['int8_integer'] >= results['fp32'] else 'CHECK'}"
-          f" vs the <=0.5 target)")
+    best = max(results["int8_integer"], results["int8_headclip"])
+    delta = (results["fp32"] - best) * 100
+    print(f"\nbest int8 integer-engine delta: {delta:.2f} mAP points "
+          f"({'PASS' if delta < 0.5 else 'CHECK'} vs the <=0.5 target)")
     return results
 
 

@@ -47,12 +47,17 @@ def fake_quantize_all_convs(params, bitwidth: int = 8):
 
 
 class _Tap:
-    """Call-ordered activation tracker tap used during tracing."""
+    """Call-ordered activation tracker tap used during tracing.
 
-    def __init__(self, states: List[dict], update: bool, bitwidth: int):
+    ``caps`` maps tap index -> max_cap (see quantize.tracker_update);
+    used to clip the prediction heads' tracked range."""
+
+    def __init__(self, states: List[dict], update: bool, bitwidth: int,
+                 caps=None):
         self.states = states
         self.update = update
         self.bitwidth = bitwidth
+        self.caps = caps or {}
         self.idx = 0
         self.new_states: List[dict] = []
 
@@ -60,20 +65,22 @@ class _Tap:
         state = (self.states[self.idx] if self.idx < len(self.states)
                  else q.tracker_init())
         val, new = q.tracker_quantize(state, act, self.bitwidth,
-                                      update=self.update)
+                                      update=self.update,
+                                      max_cap=self.caps.get(self.idx))
         self.new_states.append(new)
         self.idx += 1
         return val
 
 
 def quant_forward_generic(module, params_q, x, cfg, states: List[dict],
-                          update: bool = False, bitwidth: int = 8):
+                          update: bool = False, bitwidth: int = 8,
+                          caps=None):
     """Quantized (fake-quant) forward of any model module.
 
     ``states`` is the call-ordered list of tracker states (index 0 is the
     model input tap; the rest follow conv call order). Returns
     (outputs, new_states)."""
-    tap = _Tap(states[1:] if states else [], update, bitwidth)
+    tap = _Tap(states[1:] if states else [], update, bitwidth, caps)
     in_state = states[0] if states else q.tracker_init()
     x, new_in = q.tracker_quantize(in_state, x, bitwidth, update=update)
     with blocks.quantization_context(tap):
@@ -82,9 +89,13 @@ def quant_forward_generic(module, params_q, x, cfg, states: List[dict],
 
 
 def calibrate_generic(module, params_q, cfg, batches: Iterable,
-                      max_images: int = 1000, bitwidth: int = 8):
+                      max_images: int = 1000, bitwidth: int = 8,
+                      head_clip: float = None):
     """EMA max-calibration over ~max_images images; returns final tracker
-    state list (reference retune_bias_quantize.py:324-369 semantics)."""
+    state list (reference retune_bias_quantize.py:324-369 semantics).
+
+    ``head_clip`` caps the tracked range of the prediction-head taps (the
+    last len(STRIDES) conv calls in every model family)."""
     # bootstrap: one eager pass only to discover the number of taps; the
     # EMA itself starts fresh so the first real batch initializes it
     # (matching the reference's first_a semantics).
@@ -94,12 +105,17 @@ def calibrate_generic(module, params_q, cfg, batches: Iterable,
                                      jnp.asarray(first[:1]), cfg, [],
                                      update=True, bitwidth=bitwidth)
     states = [q.tracker_init() for _ in probe]
+    caps = None
+    if head_clip is not None:
+        n_taps = len(probe) - 1  # taps excluding the input tracker
+        caps = {n_taps - 1 - k: head_clip
+                for k in range(len(module.STRIDES))}
 
     @jax.jit
     def step(states, x):
         _, new_states = quant_forward_generic(
             module, params_q, x, cfg, states, update=True,
-            bitwidth=bitwidth)
+            bitwidth=bitwidth, caps=caps)
         return new_states
 
     seen = 0
@@ -112,7 +128,8 @@ def calibrate_generic(module, params_q, cfg, batches: Iterable,
 
 
 def quantize_detector(det, params, calib_batches, fold_bn: bool = True,
-                      max_images: int = 1000, bitwidth: int = 8):
+                      max_images: int = 1000, bitwidth: int = 8,
+                      head_clip: float = None):
     """Full generic PTQ: (fold BN ->) fake-quant weights -> calibrate.
 
     Returns (params_q, tracker_states, detect_fn) where detect_fn is the
@@ -125,7 +142,8 @@ def quantize_detector(det, params, calib_batches, fold_bn: bool = True,
     fused = fold_batch_norm(params) if fold_bn else params
     params_q = fake_quantize_all_convs(fused, bitwidth)
     states = calibrate_generic(det.module, params_q, det.cfg,
-                               list(calib_batches), max_images, bitwidth)
+                               list(calib_batches), max_images, bitwidth,
+                               head_clip=head_clip)
     cfg = det.cfg
 
     class _QModule:

@@ -69,7 +69,8 @@ def make_int8_detect_fn(m: fp.Int8Model, cfg: DetectorConfig,
 def quantize_pipeline(params_fp32, cfg: DetectorConfig,
                       calib_batches: Iterable[np.ndarray],
                       fold_bn: bool = True,
-                      max_images: int = 1000) -> fp.Int8Model:
+                      max_images: int = 1000,
+                      head_clip: Optional[float] = None) -> fp.Int8Model:
     """Full PTQ pipeline: fold BN -> fake-quant weights -> calibrate
     activation ranges -> search retune shifts -> integer model.
 
@@ -83,7 +84,7 @@ def quantize_pipeline(params_fp32, cfg: DetectorConfig,
     fused = fold_batch_norm(params_fp32) if fold_bn else params_fp32
     params_q = qsim.fake_quantize_params(fused)
     states = qsim.calibrate(params_q, cfg, calib_batches,
-                            max_images=max_images)
+                            max_images=max_images, head_clip=head_clip)
     retune = qsim.find_retune_exponents(params_q, cfg, states,
                                         calib_batches)
     return fp.quantize_model(fused, states, retune)

@@ -61,7 +61,7 @@ def weight_scale_exponents(params, bitwidth: int = 8):
 
 def quant_forward(params, x, cfg, tracker_states, *,
                   quantization: bool = True, update: bool = False,
-                  bitwidth: int = 8):
+                  bitwidth: int = 8, head_clip: float = None):
     """Fake-quant forward.
 
     Args:
@@ -86,8 +86,12 @@ def quant_forward(params, x, cfg, tracker_states, *,
     def track(name, act):
         if not quantization:
             return act
+        # head_clip caps the prediction head's tracked range — the conf
+        # logits dominate |max| but saturate through sigmoid anyway, so
+        # capping preserves boxes/classes at much finer resolution.
+        cap = head_clip if name == "pred" else None
         val, st = q.tracker_quantize(tracker_states[name], act, bitwidth,
-                                     update=update)
+                                     update=update, max_cap=cap)
         new_states[name] = st
         return val
 
@@ -134,7 +138,8 @@ def make_quant_module(params_q, tracker_states):
 # ---------------------------------------------------------------------------
 
 
-def calibrate(params_q, cfg, batches, max_images: int = 1000):
+def calibrate(params_q, cfg, batches, max_images: int = 1000,
+              head_clip: float = None):
     """PTQ max-calibration: fold tracker EMA over ~max_images images
     (reference retune_bias_quantize.py:324-369). ``batches`` yields
     [B, H, W, 3] arrays. Returns final tracker states."""
@@ -143,7 +148,8 @@ def calibrate(params_q, cfg, batches, max_images: int = 1000):
     @jax.jit
     def step(states, x):
         _, new_states, _ = quant_forward(params_q, x, cfg, states,
-                                         quantization=True, update=True)
+                                         quantization=True, update=True,
+                                         head_clip=head_clip)
         return new_states
 
     seen = 0

@@ -56,10 +56,19 @@ def tracker_init():
     return {"scale": jnp.zeros(()), "initialized": jnp.zeros(())}
 
 
-def tracker_update(state, activation, bitwidth: int = 8):
+def tracker_update(state, activation, bitwidth: int = 8,
+                   max_cap: float = None):
     """One EMA update from a batch of activations
-    (reference models/slim_yolo_v2.py:21-31)."""
+    (reference models/slim_yolo_v2.py:21-31).
+
+    ``max_cap`` bounds the tracked range: values beyond it saturate at
+    the int8 rail instead of widening the grid for everyone. Lossless for
+    logits that feed sigmoids (the detection head's objectness scores
+    dominate the range but saturate anyway).
+    """
     max_abs = jnp.max(jnp.abs(activation))
+    if max_cap is not None:
+        max_abs = jnp.minimum(max_abs, max_cap)
     new_scale = (2.0 ** (bitwidth - 1) - 1) / jnp.where(
         max_abs > 0, max_abs, 1)
     first = state["initialized"] == 0
@@ -76,15 +85,20 @@ def tracker_pow2(state) -> jnp.ndarray:
 
 
 def tracker_quantize(state, activation, bitwidth: int = 8,
-                     update: bool = False, rescale: bool = True):
+                     update: bool = False, rescale: bool = True,
+                     max_cap: float = None):
     """Fake-quantize an activation through the tracker.
 
     With update=True (calibration) the EMA advances first — matching the
     reference order where the scale update sees the current batch before
-    quantizing (models/slim_yolo_v2.py:21-38). Returns (value, new_state).
+    quantizing (models/slim_yolo_v2.py:21-38). Quantized levels saturate
+    at the int8 rails (what the integer datapath does; the reference's
+    float sim omits the clamp and can silently exceed int8 on unseen
+    data). Returns (value, new_state).
     """
     if update:
-        state = tracker_update(state, activation, bitwidth)
+        state = tracker_update(state, activation, bitwidth, max_cap)
     scale = tracker_pow2(state)
-    q = jnp.round(scale * activation)
+    lim = 2.0 ** (bitwidth - 1) - 1
+    q = jnp.clip(jnp.round(scale * activation), -lim - 1, lim)
     return (q / scale if rescale else q), state
