@@ -65,6 +65,10 @@ def predict(module, params, x, cfg: DetectorConfig):
     softmax class probs scaled by objectness — but batched and in-graph.
     """
     conf, cls, txts = head_outputs(module, params, x, cfg)
+    # decode/scoring in f32 regardless of the backbone compute dtype
+    conf = conf.astype(jnp.float32)
+    cls = cls.astype(jnp.float32)
+    txts = [t.astype(jnp.float32) for t in txts]
     h, w = cfg.input_size
     scale = jnp.asarray([w, h, w, h], jnp.float32)
     boxes = jnp.clip(decode_all_boxes(txts, cfg) / scale, 0.0, 1.0)
@@ -96,22 +100,38 @@ def train_outputs(module, params, x, cfg: DetectorConfig):
 
 
 class Detector:
-    """Convenience wrapper holding (module, cfg) with jitted entry points."""
+    """Convenience wrapper holding (module, cfg) with jitted entry points.
 
-    def __init__(self, cfg: DetectorConfig, batch_norm: bool = True):
+    ``dtype=jnp.bfloat16`` serves the model in bf16 (params + activations
+    on the MXU's fast path); decode/NMS stay f32. Default f32 keeps exact
+    reference-parity numerics."""
+
+    def __init__(self, cfg: DetectorConfig, batch_norm: bool = True,
+                 dtype=None):
         self.cfg = cfg
         self.module = get_model(cfg.name)
         self.batch_norm = batch_norm
+        self.dtype = dtype
         self._detect_jit = jax.jit(self._detect)
         self._predict_jit = jax.jit(self._predict)
 
     def init_params(self, rng):
         return self.module.init_params(rng, self.cfg,
-                                       batch_norm=self.batch_norm)
+                                       batch_norm=self.batch_norm,
+                                       dtype=self.dtype)
+
+    def cast_params(self, params):
+        """Cast an existing param pytree to this detector's dtype."""
+        if self.dtype is None:
+            return params
+        return jax.tree_util.tree_map(
+            lambda t: t.astype(self.dtype), params)
 
     # -- jittable bodies ----------------------------------------------------
 
     def _predict(self, params, images):
+        if self.dtype is not None:
+            images = images.astype(self.dtype)
         return predict(self.module, params, images, self.cfg)
 
     def _detect(self, params, images):

@@ -82,15 +82,21 @@ def init_conv_block(rng, ksize: int, c_in: int, c_out: int,
 # ---------------------------------------------------------------------------
 
 
+_DEFAULT_PRECISION = "highest"
+
+
 def conv2d(x, w, b=None, stride: int = 1, padding: int = 0,
            dilation: int = 1, preferred_element_type=None,
-           precision="highest"):
+           precision=None):
     """Plain 2D conv, NHWC x HWIO -> NHWC.
 
-    ``precision='highest'`` keeps f32 inputs in true f32 (JAX's default
-    would round through bf16). Low-precision *speed* comes from feeding
-    actual bf16/int8 operands, never from silently degraded f32.
+    The default precision 'highest' keeps f32 inputs in true f32 (JAX's
+    global default would round through bf16). Low-precision *speed* comes
+    from feeding actual bf16/int8 operands (Detector(dtype=bfloat16)),
+    never from silently degraded f32.
     """
+    if precision is None:
+        precision = _DEFAULT_PRECISION
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
