@@ -1,0 +1,92 @@
+"""CLI entry-point smoke tests (synthetic data, tiny shapes)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_train_cli_debug(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from yolo_tpu.cli.train import parse_args, train
+
+    args = parse_args([
+        "-v", "slim_yolo_v2", "-d", "synthetic", "--input_size", "32", "32",
+        "-b", "4", "--max_epoch", "1", "--eval_epoch", "1", "--debug",
+        "--num_workers", "2", "--save_folder", str(tmp_path / "w")])
+    params = train(args)
+    assert params is not None
+    # checkpoint written with optimizer state
+    ckpts = list((tmp_path / "w").rglob("*.msgpack"))
+    assert len(ckpts) == 1
+    from yolo_tpu.utils.checkpoint import load_checkpoint
+    _, extra = load_checkpoint(str(ckpts[0]))
+    assert "opt_state" in extra and extra["epoch"] == 1
+
+
+def test_kmeans_cli():
+    from yolo_tpu.cli.kmeans import main, parse_args
+
+    args = parse_args(["-d", "synthetic", "-na", "3",
+                       "--input_size", "32", "32"])
+    anchors, avg_iou = main(args)
+    assert anchors.shape == (3, 2)
+    assert 0.3 < avg_iou <= 1.0
+
+
+def test_quantize_cli_bnfold(tmp_path):
+    import jax
+
+    from yolo_tpu.cli.quantize import main, parse_args
+    from yolo_tpu.config import get_config
+    from yolo_tpu.detector import Detector
+    from yolo_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    det = Detector(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    src = str(tmp_path / "m.msgpack")
+    save_checkpoint(src, params)
+
+    out = str(tmp_path / "fused.msgpack")
+    args = parse_args(["bnfold", "-v", "slim_yolo_v2", "-d", "synthetic",
+                       "--input_size", "32", "32", "-r", src,
+                       "--out", out, "--no_eval"])
+    fused = main(args)
+    assert os.path.exists(out)
+    assert "bn" not in fused["conv1"] and "b" in fused["conv1"]
+
+
+def test_quantize_cli_findbest(tmp_path):
+    import jax
+
+    from yolo_tpu.cli.quantize import main, parse_args
+    from yolo_tpu.config import get_config
+    from yolo_tpu.detector import Detector
+    from yolo_tpu.quant.bn_fold import fold_batch_norm
+    from yolo_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    det = Detector(cfg)
+    fused = fold_batch_norm(det.init_params(jax.random.PRNGKey(0)))
+    src = str(tmp_path / "fused.msgpack")
+    save_checkpoint(src, fused)
+
+    args = parse_args(["findbest", "-v", "slim_yolo_v2_q_bf",
+                       "-d", "synthetic", "--input_size", "32", "32",
+                       "-r", src, "--calib_images", "8",
+                       "--batch_size", "4", "--no_eval"])
+    tables = main(args)
+    assert len(tables["retune"]) == 10
+    assert all(isinstance(v, int) for v in tables["retune"])
+
+
+def test_serve_cli_fake(monkeypatch):
+    """serve CLI with the FP32 path on synthetic frames."""
+    from yolo_tpu.cli.serve import main, parse_args
+
+    args = parse_args(["-v", "slim_yolo_v2", "-d", "synthetic",
+                       "--input_size", "32", "32", "--batch", "4",
+                       "--iters", "2", "--fp32"])
+    fps = main(args)
+    assert fps > 0

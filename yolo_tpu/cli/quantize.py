@@ -34,6 +34,9 @@ def parse_args(argv=None):
     parser.add_argument("--header", default="weight.h",
                         help="C header path for export")
     parser.add_argument("--calib_images", type=int, default=1000)
+    parser.add_argument("--head_clip", type=float, default=None,
+                        help="cap the prediction-head activation range "
+                             "(see docs/PARITY.md)")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--lr", type=float, default=1e-7)
     parser.add_argument("--steps", type=int, default=100)
@@ -126,7 +129,8 @@ def main(args=None):
 
     batches = _calib_batches(args, cfg)
     m = quantize_pipeline(params, cfg, batches, fold_bn=False,
-                          max_images=args.calib_images)
+                          max_images=args.calib_images,
+                          head_clip=args.head_clip)
     tables = export_tables(m)
     print("scale_w:", tables["scale_w"])
     print("scale_b:", tables["scale_b"])
