@@ -65,6 +65,23 @@ def test_train_step_on_mesh():
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_remat_matches_plain_step():
+    """jax.checkpoint rematerialization changes memory, not math."""
+    det, params, images, gt = _tiny_setup()
+    opt_a, step_a = make_train_step(det.module, det.cfg,
+                                    TrainConfig(), donate=False)
+    opt_b, step_b = make_train_step(det.module, det.cfg,
+                                    TrainConfig(remat=True), donate=False)
+    pa, _, ma = step_a(params, opt_a.init(params), images, gt, 1e-3)
+    pb, _, mb = step_b(params, opt_b.init(params), images, gt, 1e-3)
+    np.testing.assert_allclose(float(ma["total_loss"]),
+                               float(mb["total_loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(pa),
+                    jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_lr_schedule_matches_reference_semantics():
     tc = TrainConfig(base_lr=1e-3, wp_epoch=2, lr_epoch=(150, 200),
                      max_epoch=260)

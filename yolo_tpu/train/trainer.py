@@ -37,6 +37,10 @@ class TrainConfig:
     lr_epoch: Tuple[int, ...] = TRAIN_CFG["lr_epoch"]
     cos: bool = False
     obj_loss_f: str = "mse"
+    # rematerialize the forward during backprop (jax.checkpoint): trades
+    # ~1 extra forward of FLOPs for not storing activations in HBM —
+    # enables much larger batches / resolutions per chip.
+    remat: bool = False
 
 
 def lr_at(tc: TrainConfig, epoch: int, iteration: int,
@@ -71,8 +75,10 @@ def make_optimizer(tc: TrainConfig):
 
 def loss_fn(module, cfg: DetectorConfig, tc: TrainConfig, params, images,
             gt_tensor):
-    (conf, cls, txt, boxes_norm), new_params = det.train_outputs(
-        module, params, images, cfg)
+    fwd = partial(det.train_outputs, module, cfg=cfg)
+    if tc.remat:
+        fwd = jax.checkpoint(fwd)
+    (conf, cls, txt, boxes_norm), new_params = fwd(params, images)
     conf_l, cls_l, box_l, total = yolo_loss(
         conf, cls, txt, boxes_norm, gt_tensor, cfg.num_classes,
         obj_loss_f=tc.obj_loss_f)
