@@ -37,7 +37,7 @@ def test_generic_matches_slim_qsim(rng):
     x = jnp.asarray(batches[0])
     want, _, _ = qsim.quant_forward(params_q, x, cfg, slim_states,
                                     quantization=True)
-    got, _ = generic.quant_forward_generic(det.module, params_q, x, cfg,
+    got, _, _ = generic.quant_forward_generic(det.module, params_q, x, cfg,
                                            gen_states)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
                                rtol=1e-5, atol=1e-5)
@@ -74,7 +74,7 @@ def test_generic_quantize_detector_runs(rng, model):
     # quantized output stays close to the float model's output
     fused = fold_batch_norm(params)
     fb, fprobs = jax.device_get(det.predict(fused, batches[0]))
-    qouts, _ = generic.quant_forward_generic(
+    qouts, _, _ = generic.quant_forward_generic(
         det.module, params_q, jnp.asarray(batches[0]), cfg, states)
     fouts = det.module.forward(fused, jnp.asarray(batches[0]), cfg)
     a = np.asarray(fouts[0]).ravel()

@@ -185,6 +185,8 @@ def conv_block(params, x, stride: int = 1, padding: int = 0,
             new_params = dict(params, bn=new_bn)
         else:
             y = batch_norm_inference(y, params["bn"])
+    if _QUANT_TAP is not None and hasattr(_QUANT_TAP, "pre"):
+        _QUANT_TAP.pre(y)  # pre-activation accumulator stats
     if slope is None:
         y = jnp.maximum(y, 0.0)
     else:
@@ -201,6 +203,8 @@ def pred_conv(params, x, padding: int = 0):
     tap applied when a context is active (the reference's a_tracker_pred,
     models/slim_yolo_v2.py:89,328)."""
     y = conv2d(x, params["w"], params["b"], padding=padding)
+    if _QUANT_TAP is not None and hasattr(_QUANT_TAP, "pre"):
+        _QUANT_TAP.pre(y)
     if _QUANT_TAP is not None:
         y = _QUANT_TAP(y)
     return y

@@ -218,6 +218,85 @@ def int8_forward_pallas(m: Int8Model, x_q: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Generic integer ops (building blocks for integer graphs of the other
+# model families; the slim engine above predates them and is kept
+# bit-frozen against its oracle).
+# ---------------------------------------------------------------------------
+
+
+def int_conv_requant(x, w_q, b_q, *, sw: int, sb: int, sa_in, sa_out: int,
+                     retune: int, padding: int = 0, stride: int = 1,
+                     leaky: bool = True, rounding: str = "nearest"):
+    """Integer conv + fixed-point requant, generalized.
+
+    ``x`` is an int8 array with scale exponent ``sa_in`` — or, for convs
+    that consume a channel concat of differently-scaled tensors, a list
+    of (int8 array, sa) pairs: the conv splits along C_in and each
+    partial accumulator is shifted to the retune scale before summing
+    (exactly equivalent to the float sim's concat-then-conv).
+    """
+    parts = x if isinstance(x, (list, tuple)) else [(x, sa_in)]
+    # accumulate raw int32 partials per shift amount, shift once per
+    # group (same-scale branches are then exactly equivalent to a plain
+    # conv over their concat)
+    raw: dict = {}
+    c_ofs = 0
+    for xq, sa in parts:
+        c = xq.shape[-1]
+        w_part = jax.lax.slice_in_dim(w_q, c_ofs, c_ofs + c, axis=2)
+        c_ofs += c
+        p = jax.lax.conv_general_dilated(
+            xq.astype(jnp.int8), w_part,
+            window_strides=(stride, stride),
+            padding=((padding, padding), (padding, padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        s = sw + sa - retune
+        raw[s] = p if s not in raw else raw[s] + p
+    acc = None
+    for s, p in raw.items():
+        p = _shift(p, s, rounding, jnp)
+        acc = p if acc is None else acc + p
+    acc = acc + _shift(b_q.astype(jnp.int32), sb - retune, rounding, jnp)
+    acc = jnp.clip(acc, INT16_MIN, INT16_MAX)
+    if leaky:
+        acc = _leaky_int(acc, rounding, jnp)
+    out = _shift(acc, retune - sa_out, rounding, jnp)
+    return jnp.clip(out, INT8_MIN, INT8_MAX).astype(jnp.int8)
+
+
+def int_maxpool(x_q, window: int = 2, stride: int = 2):
+    return jax.lax.reduce_window(
+        x_q, jnp.int8(INT8_MIN), jax.lax.max,
+        (1, window, window, 1), (1, stride, stride, 1), "VALID")
+
+
+def int_zero_pad_maxpool_s1(x_q):
+    """ZeroPad2d((0,1,0,1)) + MaxPool2d(2, stride=1) on int8 (the
+    darknet_light tail pool, reference backbone/darknet.py:232-235).
+    Zero-padding (not INT8_MIN) exactly as the reference pads."""
+    x = jnp.pad(x_q, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    return jax.lax.reduce_window(
+        x, jnp.int8(INT8_MIN), jax.lax.max,
+        (1, 2, 2, 1), (1, 1, 1, 1), "VALID")
+
+
+def int_upsample2x_ac(x_q, rounding: str = "nearest"):
+    """2x bilinear (align_corners=True) upsample of an int8 tensor,
+    computed in f32 and requantized to the SAME scale exponent.
+
+    The FPN interpolation weights are not powers of two, so a pure-shift
+    datapath can't express it; a real deployment would use a small
+    fixed-point multiplier here. Numerics: exact interpolation followed
+    by one extra round-to-grid (the float sim keeps off-grid values)."""
+    from yolo_tpu.ops import blocks
+
+    up = blocks.upsample2x_align_corners(x_q.astype(jnp.float32))
+    r = jnp.round(up) if rounding == "nearest" else jnp.floor(up)
+    return jnp.clip(r, INT8_MIN, INT8_MAX).astype(jnp.int8)
+
+
+# ---------------------------------------------------------------------------
 # Numpy oracle (bit-exact reference implementation).
 # ---------------------------------------------------------------------------
 

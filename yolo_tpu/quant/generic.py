@@ -60,6 +60,10 @@ class _Tap:
         self.caps = caps or {}
         self.idx = 0
         self.new_states: List[dict] = []
+        self.pre_maxima: List = []  # per-call pre-activation |max|
+
+    def pre(self, act):
+        self.pre_maxima.append(jnp.max(jnp.abs(act)))
 
     def __call__(self, act):
         state = (self.states[self.idx] if self.idx < len(self.states)
@@ -79,13 +83,15 @@ def quant_forward_generic(module, params_q, x, cfg, states: List[dict],
 
     ``states`` is the call-ordered list of tracker states (index 0 is the
     model input tap; the rest follow conv call order). Returns
-    (outputs, new_states)."""
+    (outputs, new_states, pre_maxima) — pre_maxima is the per-conv-call
+    pre-activation |max| list (accumulator headroom for the retune
+    search)."""
     tap = _Tap(states[1:] if states else [], update, bitwidth, caps)
     in_state = states[0] if states else q.tracker_init()
     x, new_in = q.tracker_quantize(in_state, x, bitwidth, update=update)
     with blocks.quantization_context(tap):
         outs = module.forward(params_q, x, cfg)
-    return outs, [new_in] + tap.new_states
+    return outs, [new_in] + tap.new_states, tap.pre_maxima
 
 
 def calibrate_generic(module, params_q, cfg, batches: Iterable,
@@ -101,7 +107,7 @@ def calibrate_generic(module, params_q, cfg, batches: Iterable,
     # (matching the reference's first_a semantics).
     first = next(iter(batches)) if not isinstance(batches, list) \
         else batches[0]
-    _, probe = quant_forward_generic(module, params_q,
+    _, probe, _ = quant_forward_generic(module, params_q,
                                      jnp.asarray(first[:1]), cfg, [],
                                      update=True, bitwidth=bitwidth)
     states = [q.tracker_init() for _ in probe]
@@ -113,7 +119,7 @@ def calibrate_generic(module, params_q, cfg, batches: Iterable,
 
     @jax.jit
     def step(states, x):
-        _, new_states = quant_forward_generic(
+        _, new_states, _ = quant_forward_generic(
             module, params_q, x, cfg, states, update=True,
             bitwidth=bitwidth, caps=caps)
         return new_states
@@ -152,7 +158,7 @@ def quantize_detector(det, params, calib_batches, fold_bn: bool = True,
         @staticmethod
         def forward(p, x, cfg, train=False):
             assert not train
-            outs, _ = quant_forward_generic(det.module, p, x, cfg, states)
+            outs, _, _ = quant_forward_generic(det.module, p, x, cfg, states)
             return outs
 
     @jax.jit

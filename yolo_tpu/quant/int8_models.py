@@ -1,0 +1,201 @@
+"""True-integer INT8 graphs for the FPN model family.
+
+Extends the FPGA fixed-point execution model (quant/fixed_point.py)
+beyond the slim deployment net: tiny_yolo_v3 runs end-to-end in int8 —
+int8 convs with int16-saturating accumulators and shift requantization,
+int8 max pools, the darknet_light zero-pad stride-1 pool, an exact
+split-conv over the FPN channel concat (each branch keeps its own scale),
+and a fixed-point 2x upsample. This covers the BASELINE.json
+"tiny_yolo_v3 INT8 — two-scale FPN head decode + multi-anchor NMS"
+config with real integer arithmetic (the reference only ever ran integer
+math for slim, in its C engine).
+
+Calibration comes from the generic quantization context
+(quant/generic.py): tracker scales in conv call order plus per-conv
+pre-activation maxima for the retune (accumulator headroom) search.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tpu.config import DetectorConfig
+from yolo_tpu.quant import fixed_point as fp
+from yolo_tpu.quant import quantize as q
+
+# conv call order of tiny_yolo_v3.forward (models/tiny_yolo_v3.py:41-59;
+# darknet_light backbone then head). Index aligns with the generic
+# context's tap order.
+TINY_CONV_ORDER = (
+    "conv_1", "conv_2", "conv_3", "conv_4", "conv_5", "conv_6", "conv_7",
+    "conv_set_2", "conv_1x1_2", "conv_set_1", "extra_conv_2",
+    "pred_2", "pred_1",
+)
+# which tap each conv reads as input ('in' = the input tracker);
+# conv_set_1 reads the concat [C4 (conv_5 tap), upsampled conv_1x1_2].
+TINY_INPUT_TAP = {
+    "conv_1": "in", "conv_2": "conv_1", "conv_3": "conv_2",
+    "conv_4": "conv_3", "conv_5": "conv_4", "conv_6": "conv_5",
+    "conv_7": "conv_6", "conv_set_2": "conv_7",
+    "conv_1x1_2": "conv_set_2",
+    "conv_set_1": ("conv_5", "conv_1x1_2"),
+    "extra_conv_2": "conv_set_2", "pred_2": "extra_conv_2",
+    "pred_1": "conv_set_1",
+}
+_TINY_SPATIAL = {  # (padding, followed by ops)
+    "conv_1": 1, "conv_2": 1, "conv_3": 1, "conv_4": 1, "conv_5": 1,
+    "conv_6": 1, "conv_7": 1, "conv_set_2": 1, "conv_1x1_2": 0,
+    "conv_set_1": 1, "extra_conv_2": 1, "pred_2": 0, "pred_1": 0,
+}
+
+
+@dataclass
+class Int8Tiny:
+    w_q: Dict[str, jnp.ndarray]
+    b_q: Dict[str, jnp.ndarray]
+    sw: Dict[str, int]
+    sb: Dict[str, int]
+    sa: Dict[str, int]          # 'in' + each conv name -> exponent
+    retune: Dict[str, int]
+
+
+def _flat_tiny_params(fused) -> Dict[str, dict]:
+    """Name -> {'w','b'} for the 13 convs of the BN-fused tiny model."""
+    bb = fused["backbone"]
+    flat = {name: bb[name][0] for name in
+            ("conv_1", "conv_2", "conv_3", "conv_4", "conv_5", "conv_6",
+             "conv_7")}
+    for name in ("conv_set_2", "conv_1x1_2", "conv_set_1", "extra_conv_2",
+                 "pred_2", "pred_1"):
+        flat[name] = fused[name]
+    return flat
+
+
+def quantize_tiny_yolo_v3(fused, tracker_states: List[dict],
+                          pre_maxima: List[float],
+                          acc_bits: int = 16) -> Int8Tiny:
+    """BN-fused tiny params + generic calibration -> integer model.
+
+    tracker_states: call-ordered list from generic.calibrate_generic
+    (index 0 = input). pre_maxima: per-conv max |pre-activation| from the
+    calibration data (same order as TINY_CONV_ORDER).
+    """
+    flat = _flat_tiny_params(fused)
+    w_q, b_q, sw, sb, sa, retune = {}, {}, {}, {}, {}, {}
+    sa["in"] = int(jnp.log2(q.tracker_pow2(tracker_states[0])))
+    limit = 2.0 ** (acc_bits - 1)
+    for i, name in enumerate(TINY_CONV_ORDER):
+        layer = flat[name]
+        wq, wscale = q.quantize_pow2(layer["w"])
+        bq, bscale = q.quantize_pow2(layer["b"])
+        w_q[name] = jnp.clip(wq, fp.INT8_MIN, fp.INT8_MAX).astype(jnp.int8)
+        b_q[name] = jnp.clip(bq, fp.INT8_MIN, fp.INT8_MAX).astype(jnp.int32)
+        sw[name] = int(jnp.log2(wscale))
+        sb[name] = int(jnp.log2(bscale))
+        sa[name] = int(jnp.log2(q.tracker_pow2(tracker_states[i + 1])))
+        mx = float(pre_maxima[i])
+        retune[name] = (acc_bits - 2 if mx <= 0 else
+                        min(acc_bits - 2,
+                            int(math.floor(math.log2(limit / mx)))))
+    return Int8Tiny(w_q, b_q, sw, sb, sa, retune)
+
+
+def int8_tiny_forward(m: Int8Tiny, x_q: jnp.ndarray,
+                      rounding: str = "nearest"):
+    """int8 input -> [pred_1, pred_2] float heads (s16, s32 order,
+    matching models/tiny_yolo_v3.forward)."""
+
+    def conv(name, x, leaky=True, sa_in=None):
+        return fp.int_conv_requant(
+            x, m.w_q[name], m.b_q[name], sw=m.sw[name], sb=m.sb[name],
+            sa_in=sa_in, sa_out=m.sa[name], retune=m.retune[name],
+            padding=_TINY_SPATIAL[name], leaky=leaky, rounding=rounding)
+
+    out = x_q
+    out = fp.int_maxpool(conv("conv_1", out, sa_in=m.sa["in"]))
+    out = fp.int_maxpool(conv("conv_2", out, sa_in=m.sa["conv_1"]))
+    out = fp.int_maxpool(conv("conv_3", out, sa_in=m.sa["conv_2"]))
+    out = fp.int_maxpool(conv("conv_4", out, sa_in=m.sa["conv_3"]))
+    c4 = conv("conv_5", out, sa_in=m.sa["conv_4"])          # stride 16
+    out = fp.int_maxpool(c4)
+    out = conv("conv_6", out, sa_in=m.sa["conv_5"])
+    out = fp.int_zero_pad_maxpool_s1(out)
+    c5 = conv("conv_7", out, sa_in=m.sa["conv_6"])          # stride 32
+
+    c5h = conv("conv_set_2", c5, sa_in=m.sa["conv_7"])
+    up = conv("conv_1x1_2", c5h, sa_in=m.sa["conv_set_2"])
+    up = fp.int_upsample2x_ac(up, rounding)                 # same scale
+
+    # FPN concat: split conv keeps each branch's own scale exactly
+    c4h = conv("conv_set_1",
+               [(c4, m.sa["conv_5"]), (up, m.sa["conv_1x1_2"])])
+    e2 = conv("extra_conv_2", c5h, sa_in=m.sa["conv_set_2"])
+    pred_2 = conv("pred_2", e2, leaky=False,
+                  sa_in=m.sa["extra_conv_2"])
+    pred_1 = conv("pred_1", c4h, leaky=False,
+                  sa_in=m.sa["conv_set_1"])
+    return [
+        pred_1.astype(jnp.float32) * 2.0 ** -m.sa["pred_1"],
+        pred_2.astype(jnp.float32) * 2.0 ** -m.sa["pred_2"],
+    ]
+
+
+def quantize_pipeline_tiny(params_fp32, cfg: DetectorConfig,
+                           calib_batches, max_images: int = 1000,
+                           head_clip: float = None) -> Int8Tiny:
+    """Full PTQ for tiny_yolo_v3: fold BN -> generic fake-quant +
+    calibration -> accumulator headroom -> integer model."""
+    from yolo_tpu.models import tiny_yolo_v3
+    from yolo_tpu.quant.bn_fold import fold_batch_norm
+    from yolo_tpu.quant.generic import (
+        calibrate_generic, fake_quantize_all_convs, quant_forward_generic)
+
+    calib_batches = list(calib_batches)
+    fused = fold_batch_norm(params_fp32)
+    params_q = fake_quantize_all_convs(fused)
+    states = calibrate_generic(tiny_yolo_v3, params_q, cfg, calib_batches,
+                               max_images=max_images, head_clip=head_clip)
+
+    @jax.jit
+    def maxima_step(x):
+        _, _, pre = quant_forward_generic(tiny_yolo_v3, params_q, x, cfg,
+                                          states)
+        return pre
+
+    agg = None
+    for x in calib_batches:
+        pre = jax.device_get(maxima_step(jnp.asarray(x)))
+        agg = pre if agg is None else [max(float(a), float(b))
+                                       for a, b in zip(agg, pre)]
+    return quantize_tiny_yolo_v3(fused, states, agg)
+
+
+def make_int8_tiny_detect_fn(m: Int8Tiny, cfg: DetectorConfig,
+                             rounding: str = "nearest"):
+    """Jitted end-to-end int8 tiny_yolo_v3 detector."""
+    from yolo_tpu import detector as D
+    from yolo_tpu.ops import nms
+
+    class _Mod:
+        STRIDES = (16, 32)
+
+        @staticmethod
+        def forward(p, x, cfg, train=False):
+            assert not train
+            return int8_tiny_forward(m, fp.quantize_input(x, m.sa["in"]),
+                                     rounding)
+
+    @jax.jit
+    def detect(images):
+        boxes, probs = D.predict(_Mod, None, images, cfg)
+        return nms.batched_postprocess(
+            boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
+            cfg.pre_nms_top_k, cfg.top_k)
+
+    return detect
