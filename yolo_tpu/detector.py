@@ -130,6 +130,12 @@ class Detector:
     # -- jittable bodies ----------------------------------------------------
 
     def _predict(self, params, images):
+        h, w = self.cfg.input_size
+        if images.shape[1:3] != (h, w):
+            raise ValueError(
+                f"images are {images.shape[1]}x{images.shape[2]} but this "
+                f"detector was configured for {h}x{w}; rebuild with "
+                f"cfg.with_input_size(...) or resize the batch")
         if self.dtype is not None:
             images = images.astype(self.dtype)
         return predict(self.module, params, images, self.cfg)
