@@ -105,7 +105,9 @@ def darknet53(params, x, train=False):
         new_blocks = []
         for bp in layer["blocks"]:
             y, nb = run_seq(bp, x, _res_specs(ch), train, SLOPE)
-            x = y + x  # residual (reference backbone/darknet.py:35-38)
+            # residual (reference backbone/darknet.py:35-38); tapped
+            # under a quantization context
+            x = blocks.residual_add(y, x)
             new_blocks.append(nb)
         new[name] = {"entry": new_entry, "blocks": new_blocks}
         feats.append(x)

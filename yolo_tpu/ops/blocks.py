@@ -198,6 +198,22 @@ def conv_block(params, x, stride: int = 1, padding: int = 0,
     return y
 
 
+def residual_add(y, x):
+    """Residual addition with a quantization tap on the sum.
+
+    In float training/inference this is just ``y + x``. Under a
+    quantization context the sum gets its own tracker: an integer
+    datapath must re-quantize the sum of two differently-scaled int8
+    tensors to a single scale before the next conv consumes it, so the
+    sum's range must be calibrated. (The reference never quantizes a
+    residual network; this extends its scheme to darknet53.)
+    """
+    s = y + x
+    if _QUANT_TAP is not None:
+        s = _QUANT_TAP(s)
+    return s
+
+
 def pred_conv(params, x, padding: int = 0):
     """Prediction-head conv (biased, no activation) with the quantization
     tap applied when a context is active (the reference's a_tracker_pred,

@@ -265,10 +265,39 @@ def int_conv_requant(x, w_q, b_q, *, sw: int, sb: int, sa_in, sa_out: int,
     return jnp.clip(out, INT8_MIN, INT8_MAX).astype(jnp.int8)
 
 
-def int_maxpool(x_q, window: int = 2, stride: int = 2):
+def int_add_requant(a, sa_a: int, b, sa_b: int, sa_out: int,
+                    rounding: str = "nearest"):
+    """Residual add of two int8 tensors with different scales.
+
+    Both operands shift (exactly, left) to the finer common scale, sum in
+    int32, then requantize to ``sa_out`` (the sum's calibrated tracker
+    scale) with int8 saturation.
+    """
+    s = max(sa_a, sa_b)
+    va = a.astype(jnp.int32) << (s - sa_a)
+    vb = b.astype(jnp.int32) << (s - sa_b)
+    out = _shift(va + vb, s - sa_out, rounding, jnp)
+    return jnp.clip(out, INT8_MIN, INT8_MAX).astype(jnp.int8)
+
+
+def int_maxpool(x_q, window: int = 2, stride: int = 2, padding: int = 0):
+    """int8 max pool; padding uses INT8_MIN (torch -inf semantics)."""
+    if padding:
+        x_q = jnp.pad(x_q, ((0, 0), (padding, padding),
+                            (padding, padding), (0, 0)),
+                      constant_values=INT8_MIN)
     return jax.lax.reduce_window(
         x_q, jnp.int8(INT8_MIN), jax.lax.max,
         (1, window, window, 1), (1, stride, stride, 1), "VALID")
+
+
+def int_spp(x_q):
+    """int8 SPP: concat [x, mp5, mp9, mp13] — max pools preserve the
+    scale, so the concat is single-scale (reference utils/modules.py:
+    59-72)."""
+    return jnp.concatenate(
+        [x_q, int_maxpool(x_q, 5, 1, 2), int_maxpool(x_q, 9, 1, 4),
+         int_maxpool(x_q, 13, 1, 6)], axis=-1)
 
 
 def int_zero_pad_maxpool_s1(x_q):

@@ -1,0 +1,248 @@
+"""True-integer INT8 yolo_v3 / yolo_v3_spp.
+
+Completes the BASELINE.json "yolo_v3 / yolo_v3_spp — full Darknet-53
+backbone + SPP, INT8 end-to-end" config with real integer arithmetic:
+int8 convs (incl. stride-2 backbone convs) with int16-saturating
+accumulators and shift requantization, exact residual adds (operands
+aligned to the finer scale in int32, requantized to the sum's calibrated
+tracker — see ops/blocks.residual_add), int8 SPP pools, split-convs over
+the FPN concats, and fixed-point 2x upsamples.
+
+The layer *program* — the exact conv/residual/concat call order of the
+float forward (models/darknet.darknet53 + models/yolo_v3._forward) — is
+generated once and walked by both the quantizer and the executor, so the
+generic quantization context's call-ordered tracker scales and
+pre-activation maxima line up by construction.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tpu.config import DetectorConfig
+from yolo_tpu.models import yolo_v3 as v3
+from yolo_tpu.models import yolo_v3_spp as v3spp
+from yolo_tpu.models.darknet import _D53_LAYERS, _res_specs
+from yolo_tpu.quant import fixed_point as fp
+from yolo_tpu.quant import quantize as q
+
+
+def _program(spp: bool) -> List[Tuple]:
+    """Ops: ('conv', path, stride, padding, leaky) | ('push',) | ('res',)
+    | ('save', name) | ('load', name) | ('spp',) | ('up',) |
+    ('concat', left_name)."""
+    ops: List[Tuple] = []
+    feat_names = {"layer_3": "c3", "layer_4": "c4", "layer_5": "c5"}
+    for name, entry, ch, nblocks in _D53_LAYERS:
+        for j, (ks, ci, co, st, pad) in enumerate(entry):
+            ops.append(("conv", ("backbone", name, "entry", j), st, pad,
+                        True))
+        for k in range(nblocks):
+            specs = _res_specs(ch)
+            ops.append(("push",))
+            for j, (ks, ci, co, st, pad) in enumerate(specs):
+                ops.append(("conv", ("backbone", name, "blocks", k, j),
+                            st, pad, True))
+            ops.append(("res",))
+        if name in feat_names:
+            ops.append(("save", feat_names[name]))
+
+    conv_set_3 = v3spp.CONV_SET_3_SPP if spp else v3.CONV_SET_3
+    if spp:
+        ops.append(("spp",))
+
+    def seq(prefix, specs, concat_left=None):
+        for j, (ks, ci, co, st, pad) in enumerate(specs):
+            ops.append(("conv", (prefix, j), st, pad, True))
+
+    seq("conv_set_3", conv_set_3)
+    ops.append(("save", "fmp3"))
+    ops.append(("conv", ("conv_1x1_3",), 1, 0, True))
+    ops.append(("up",))
+    ops.append(("concat", "c4"))
+    seq("conv_set_2", v3.CONV_SET_2)
+    ops.append(("save", "fmp2"))
+    ops.append(("conv", ("conv_1x1_2",), 1, 0, True))
+    ops.append(("up",))
+    ops.append(("concat", "c3"))
+    seq("conv_set_1", v3.CONV_SET_1)
+    ops.append(("save", "fmp1"))
+    # extra convs then preds, matching models/yolo_v3.py:85-93 call order
+    for fm, extra in (("fmp3", "extra_conv_3"), ("fmp2", "extra_conv_2"),
+                      ("fmp1", "extra_conv_1")):
+        ops.append(("load", fm))
+        ops.append(("conv", (extra,), 1, 1, True))
+        ops.append(("save", extra))
+    for extra, pred in (("extra_conv_3", "pred_3"),
+                        ("extra_conv_2", "pred_2"),
+                        ("extra_conv_1", "pred_1")):
+        ops.append(("load", extra))
+        ops.append(("conv", (pred,), 1, 0, False))
+        ops.append(("save", pred))
+    return ops
+
+
+def _get_path(params, path):
+    node = params
+    for p in path:
+        node = node[p]
+    return node
+
+
+@dataclass
+class Int8YoloV3:
+    spp: bool
+    w_q: List[jnp.ndarray]
+    b_q: List[jnp.ndarray]
+    sw: List[int]
+    sb: List[int]
+    sa_in: int
+    tap_sa: List[int]        # per tap (convs + residual sums), call order
+    retune: List[int]        # per conv
+    program: List[Tuple] = field(repr=False, default=None)
+
+
+def quantize_yolo_v3(fused, tracker_states: List[dict],
+                     pre_maxima: List[float], spp: bool = False,
+                     acc_bits: int = 16) -> Int8YoloV3:
+    """BN-fused yolo_v3(-spp) params + generic calibration -> integer
+    model. tracker_states index 0 is the input tap."""
+    program = _program(spp)
+    w_q, b_q, sw, sb, retune = [], [], [], [], []
+    limit = 2.0 ** (acc_bits - 1)
+    conv_i = 0
+    for op in program:
+        if op[0] != "conv":
+            continue
+        layer = _get_path(fused, op[1])
+        wq, ws = q.quantize_pow2(layer["w"])
+        bq, bs = q.quantize_pow2(layer["b"])
+        w_q.append(jnp.clip(wq, fp.INT8_MIN, fp.INT8_MAX).astype(jnp.int8))
+        b_q.append(jnp.clip(bq, fp.INT8_MIN, fp.INT8_MAX).astype(jnp.int32))
+        sw.append(int(jnp.log2(ws)))
+        sb.append(int(jnp.log2(bs)))
+        mx = float(pre_maxima[conv_i])
+        retune.append(acc_bits - 2 if mx <= 0 else
+                      min(acc_bits - 2,
+                          int(math.floor(math.log2(limit / mx)))))
+        conv_i += 1
+    tap_sa = [int(jnp.log2(q.tracker_pow2(st)))
+              for st in tracker_states[1:]]
+    sa_in = int(jnp.log2(q.tracker_pow2(tracker_states[0])))
+    return Int8YoloV3(spp=spp, w_q=w_q, b_q=b_q, sw=sw, sb=sb,
+                      sa_in=sa_in, tap_sa=tap_sa, retune=retune,
+                      program=program)
+
+
+def int8_yolo_v3_forward(m: Int8YoloV3, x_q: jnp.ndarray,
+                         rounding: str = "nearest"):
+    """int8 input -> [pred_1, pred_2, pred_3] float heads (s8,16,32)."""
+    stream = (x_q, m.sa_in)     # (int8 array or parts-list, scale)
+    slots: Dict[str, Tuple] = {}
+    res_stack: List[Tuple] = []
+    tap_i = 0
+    conv_i = 0
+    for op in m.program:
+        kind = op[0]
+        if kind == "conv":
+            _, _, stride, padding, leaky = op
+            sa_out = m.tap_sa[tap_i]
+            x, sa = stream
+            out = fp.int_conv_requant(
+                x, m.w_q[conv_i], m.b_q[conv_i], sw=m.sw[conv_i],
+                sb=m.sb[conv_i], sa_in=sa, sa_out=sa_out,
+                retune=m.retune[conv_i], padding=padding, stride=stride,
+                leaky=leaky, rounding=rounding)
+            stream = (out, sa_out)
+            tap_i += 1
+            conv_i += 1
+        elif kind == "push":
+            res_stack.append(stream)
+        elif kind == "res":
+            (y, sy) = stream
+            (x, sx) = res_stack.pop()
+            sa_out = m.tap_sa[tap_i]
+            tap_i += 1
+            stream = (fp.int_add_requant(y, sy, x, sx, sa_out, rounding),
+                      sa_out)
+        elif kind == "save":
+            slots[op[1]] = stream
+        elif kind == "load":
+            stream = slots[op[1]]
+        elif kind == "spp":
+            x, sa = stream
+            stream = (fp.int_spp(x), sa)
+        elif kind == "up":
+            x, sa = stream
+            stream = (fp.int_upsample2x_ac(x, rounding), sa)
+        elif kind == "concat":
+            left, sl = slots[op[1]]
+            x, sa = stream
+            stream = ([(left, sl), (x, sa)], None)
+        else:  # pragma: no cover
+            raise ValueError(op)
+    preds = []
+    for name in ("pred_1", "pred_2", "pred_3"):
+        x, sa = slots[name]
+        preds.append(x.astype(jnp.float32) * 2.0 ** -sa)
+    return preds
+
+
+def quantize_pipeline_yolo_v3(params_fp32, cfg: DetectorConfig,
+                              calib_batches, spp: bool = False,
+                              max_images: int = 1000,
+                              head_clip: float = None) -> Int8YoloV3:
+    """Full PTQ for yolo_v3(-spp): fold BN -> generic calibration ->
+    headroom -> integer model."""
+    from yolo_tpu.quant.bn_fold import fold_batch_norm
+    from yolo_tpu.quant.generic import (
+        calibrate_generic, fake_quantize_all_convs, quant_forward_generic)
+
+    module = v3spp if spp else v3
+    calib_batches = list(calib_batches)
+    fused = fold_batch_norm(params_fp32)
+    params_q = fake_quantize_all_convs(fused)
+    states = calibrate_generic(module, params_q, cfg, calib_batches,
+                               max_images=max_images, head_clip=head_clip)
+
+    @jax.jit
+    def maxima_step(x):
+        _, _, pre = quant_forward_generic(module, params_q, x, cfg, states)
+        return pre
+
+    agg = None
+    for x in calib_batches:
+        pre = jax.device_get(maxima_step(jnp.asarray(x)))
+        agg = pre if agg is None else [max(float(a), float(b))
+                                       for a, b in zip(agg, pre)]
+    return quantize_yolo_v3(fused, states, agg, spp=spp)
+
+
+def make_int8_yolo_v3_detect_fn(m: Int8YoloV3, cfg: DetectorConfig,
+                                rounding: str = "nearest"):
+    from yolo_tpu import detector as D
+    from yolo_tpu.ops import nms
+
+    class _Mod:
+        STRIDES = (8, 16, 32)
+
+        @staticmethod
+        def forward(p, x, cfg, train=False):
+            assert not train
+            return int8_yolo_v3_forward(
+                m, fp.quantize_input(x, m.sa_in), rounding)
+
+    @jax.jit
+    def detect(images):
+        boxes, probs = D.predict(_Mod, None, images, cfg)
+        return nms.batched_postprocess(
+            boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
+            cfg.pre_nms_top_k, cfg.top_k)
+
+    return detect
