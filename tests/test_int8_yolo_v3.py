@@ -71,7 +71,18 @@ def test_int8_yolo_v3_close_to_float_sim(rng, spp):
         a, b = np.asarray(f).ravel(), np.asarray(i).ravel()
         assert np.corrcoef(a, b)[0, 1] > 0.95
 
+
+@pytest.mark.skipif(not os.environ.get("YOLO_TPU_SLOW_TESTS"),
+                    reason="extra 75-conv jit; set YOLO_TPU_SLOW_TESTS=1")
+def test_int8_yolo_v3_detect_fn(rng):
+    cfg = get_config("yolo_v3", "voc", input_size=(64, 64), top_k=10,
+                     pre_nms_top_k=64)
+    det = Detector(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    batches = [rng.random((1, 64, 64, 3), dtype=np.float32)]
+    m = quantize_pipeline_yolo_v3(params, cfg, batches)
     detect = make_int8_yolo_v3_detect_fn(m, cfg)
-    boxes, scores, cls, valid = jax.device_get(detect(x))
+    boxes, scores, cls, valid = jax.device_get(
+        detect(jnp.asarray(batches[0])))
     assert boxes.shape == (1, 10, 4)
     assert np.isfinite(scores).all()
