@@ -78,7 +78,14 @@ def train(args=None):
 
     tc = TrainConfig(base_lr=args.lr, wp_epoch=args.wp_epoch,
                      max_epoch=args.max_epoch, cos=args.cos)
-    mesh = make_mesh(data=args.mesh_data) if jax.device_count() > 1 else None
+    # data-parallel mesh over as many devices as evenly divide the batch
+    # (a debug batch of 4 on 8 devices uses a 4-device mesh, not a crash)
+    import math
+    n_dev = jax.device_count()
+    data = (args.mesh_data if args.mesh_data is not None
+            else math.gcd(args.batch_size, n_dev))
+    mesh = (make_mesh(data=data, devices=jax.devices()[:data])
+            if data > 1 else None)
     opt, step = make_train_step(det.module, cfg, tc, mesh=mesh)
     opt_state = opt.init(params)
     if resume_extra and "opt_state" in resume_extra:
