@@ -66,13 +66,35 @@ def test(args=None):
     else:
         from yolo_tpu.data.voc import VOC_CLASSES as class_names
 
+    # -q: run the INT8 integer engine visually (the reference's
+    # slim_yolo_v2_q_bf test branch, test.py:165-172)
+    detect_one = None
+    if args.quantize:
+        from yolo_tpu.quant.int8_graph import (
+            make_int8_detect_fn, quantize_pipeline)
+        calib = [np.stack([dataset.pull_item(i)[0] for i in
+                           range(min(16, len(dataset)))])]
+        m = quantize_pipeline(params, cfg, calib,
+                              fold_bn=not args.version.endswith("_q_bf"))
+        int8_detect = make_int8_detect_fn(m, cfg)
+
+        def detect_one(im):
+            boxes, scores, classes, valid = (
+                np.asarray(a) for a in
+                int8_detect(np.asarray(im, np.float32)[None]))
+            keep = valid[0]
+            return boxes[0][keep], scores[0][keep], classes[0][keep]
+
     n = min(args.num_images, len(dataset))
     import time
     for i in range(n):
         im, _, h, w = dataset.pull_item(i)
         raw, _ = dataset.pull_image(i)
         t0 = time.time()
-        boxes, scores, cls_inds = det.detect_single_numpy(params, im)
+        if detect_one is not None:
+            boxes, scores, cls_inds = detect_one(im)
+        else:
+            boxes, scores, cls_inds = det.detect_single_numpy(params, im)
         print(f"im {i}: detection time {time.time() - t0:.3f}s, "
               f"{len(scores)} boxes")
         out = vis(raw, boxes, scores, cls_inds, class_names,

@@ -112,6 +112,10 @@ def train(args=None):
                 det.module, c, tc, mesh=mesh)[1]
         return steps_by_size[c.input_size]
 
+    from yolo_tpu.utils.profiling import MetricsLogger
+    metrics_log = MetricsLogger(
+        os.path.join(save_dir, "metrics.jsonl"), echo=False)
+
     epoch_size = max(len(loader), 1)
     best_map = -1.0
     for epoch in range(args.start_epoch, args.max_epoch):
@@ -137,6 +141,12 @@ def train(args=None):
                       f"cls {float(m['cls_loss']):.2f} | "
                       f"box {float(m['txtytwth_loss']):.2f} | "
                       f"total {float(m['total_loss']):.2f}")
+                metrics_log.log(
+                    epoch * epoch_size + it, lr=lr,
+                    conf_loss=float(m["conf_loss"]),
+                    cls_loss=float(m["cls_loss"]),
+                    txtytwth_loss=float(m["txtytwth_loss"]),
+                    total_loss=float(m["total_loss"]))
             if args.debug:
                 break
 
@@ -146,6 +156,7 @@ def train(args=None):
             mean_ap = evaluator.evaluate(
                 lambda imgs: det.detect(params, imgs))
             print(f"[Epoch {epoch}] mAP = {mean_ap:.4f}")
+            metrics_log.log((epoch + 1) * epoch_size, mAP=mean_ap)
             if mean_ap > best_map:
                 best_map = mean_ap
         if (epoch + 1) % 10 == 0 or epoch + 1 == args.max_epoch:
@@ -160,6 +171,7 @@ def train(args=None):
             print(f"saved {path}")
         if args.debug:
             break
+    metrics_log.close()
     return params
 
 

@@ -1,9 +1,13 @@
-"""COCO detection dataset (gated on pycocotools availability).
+"""COCO detection dataset.
 
 Mirrors the reference COCODataset surface (data/cocodataset.py:33-167):
 pull_item returns (image, normalized [N,5] target, h, w); class ids are
 mapped through the 80-class contiguous index; a ``debug`` flag truncates
 to one sample.
+
+Uses pycocotools when installed; otherwise the pure-numpy shim
+(yolo_tpu.data.coco_api) provides the same annotation-index API, so the
+COCO path runs in environments without pycocotools.
 """
 
 from __future__ import annotations
@@ -21,8 +25,8 @@ except ImportError:  # pragma: no cover
 try:
     from pycocotools.coco import COCO
     HAS_PYCOCOTOOLS = True
-except ImportError:  # pragma: no cover - not in this image
-    COCO = None
+except ImportError:  # pure-numpy fallback (this image lacks pycocotools)
+    from yolo_tpu.data.coco_api import COCO
     HAS_PYCOCOTOOLS = False
 
 coco_class_labels = (
@@ -54,10 +58,6 @@ class COCODataset:
     def __init__(self, data_dir: str, json_file: str = "instances_train2017.json",
                  name: str = "train2017", img_size: int = 416,
                  transform=None, debug: bool = False):
-        if not HAS_PYCOCOTOOLS:
-            raise ImportError(
-                "pycocotools is required for COCODataset but is not "
-                "installed in this environment")
         self.data_dir = data_dir
         self.json_file = json_file
         self.coco = COCO(osp.join(data_dir, "annotations", json_file))

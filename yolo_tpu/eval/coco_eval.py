@@ -1,8 +1,10 @@
-"""COCO mAP evaluation (gated on pycocotools, like the dataset).
+"""COCO mAP evaluation.
 
 Mirrors the reference COCOAPIEvaluator (utils/cocoapi_evaluator.py:53-126):
 collects detections as COCO-json records, runs COCOeval bbox, returns
 (AP50, AP50:95) — but feeds them from the batched in-graph detector.
+Uses pycocotools' COCOeval when installed, else the pure-numpy
+implementation in yolo_tpu.data.coco_api.
 """
 
 from __future__ import annotations
@@ -16,15 +18,13 @@ import numpy as np
 try:
     from pycocotools.cocoeval import COCOeval
     HAS_PYCOCOTOOLS = True
-except ImportError:  # pragma: no cover - not in this image
-    COCOeval = None
+except ImportError:  # pure-numpy fallback (this image lacks pycocotools)
+    from yolo_tpu.data.coco_api import COCOeval
     HAS_PYCOCOTOOLS = False
 
 
 class COCOEvaluator:
     def __init__(self, dataset, batch_size: int = 32):
-        if not HAS_PYCOCOTOOLS:
-            raise ImportError("pycocotools is required for COCO eval")
         self.dataset = dataset
         self.batch_size = batch_size
         self.ap50_95 = self.ap50 = None

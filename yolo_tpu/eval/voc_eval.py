@@ -39,8 +39,9 @@ def voc_eval_class(dets_per_image: List[np.ndarray],
                    gts_per_image: List[np.ndarray],
                    difficult_per_image: Optional[List[np.ndarray]] = None,
                    ovthresh: float = 0.5,
-                   use_07_metric: bool = True) -> float:
-    """AP for one class.
+                   use_07_metric: bool = True,
+                   return_pr: bool = False):
+    """AP for one class (optionally with the recall/precision curves).
 
     Args:
       dets_per_image: per image [N, 5] arrays (x1, y1, x2, y2, score) in
@@ -61,7 +62,8 @@ def voc_eval_class(dets_per_image: List[np.ndarray],
         for det in np.asarray(dets_per_image[i]).reshape(-1, 5):
             records.append((det[4], i, det[:4]))
     if not records:
-        return 0.0 if npos > 0 else 0.0
+        empty = np.zeros(0)
+        return (0.0, empty, empty) if return_pr else 0.0
     records.sort(key=lambda r: -r[0])
 
     tp = np.zeros(len(records))
@@ -98,7 +100,8 @@ def voc_eval_class(dets_per_image: List[np.ndarray],
     tp = np.cumsum(tp)
     rec = tp / np.maximum(float(npos), 1e-10)
     prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
-    return voc_ap(rec, prec, use_07_metric)
+    ap = voc_ap(rec, prec, use_07_metric)
+    return (ap, rec, prec) if return_pr else ap
 
 
 class VOCEvaluator:
@@ -111,16 +114,23 @@ class VOCEvaluator:
 
     def __init__(self, dataset, num_classes: int, input_size,
                  batch_size: int = 32, use_07_metric: bool = True,
-                 display: bool = False):
+                 display: bool = False, output_dir: Optional[str] = None,
+                 class_names: Optional[Sequence[str]] = None):
         self.dataset = dataset
         self.num_classes = num_classes
         self.input_size = tuple(input_size)
         self.batch_size = batch_size
         self.use_07_metric = use_07_metric
         self.display = display
+        self.output_dir = output_dir
+        self.class_names = (list(class_names) if class_names else
+                            [f"class{i}" for i in range(num_classes)])
         self.map = None
 
     def evaluate(self, detect_batch: Callable) -> float:
+        """Single pass over the dataset: each pull_item feeds both the GT
+        table and the detection batch (the reference decoded every image
+        twice, once per loop — vocapi_evaluator_mask.py:59,69)."""
         n = len(self.dataset)
         dets: List[List[np.ndarray]] = [
             [np.empty((0, 5), np.float32) for _ in range(n)]
@@ -129,26 +139,23 @@ class VOCEvaluator:
             [np.empty((0, 4), np.float32) for _ in range(n)]
             for _ in range(self.num_classes)]
 
-        # collect GT (pixel coords) from the dataset annotations
-        sizes = []
-        for i in range(n):
-            _, target, h, w = self.dataset.pull_item(i)
-            sizes.append((h, w))
-            t = np.asarray(target).reshape(-1, 5)
-            for cls in range(self.num_classes):
-                rows = t[t[:, 4] == cls]
-                if len(rows):
-                    gts[cls][i] = rows[:, :4] * [w, h, w, h]
-
-        # batched detection
         for start in range(0, n, self.batch_size):
             idx = range(start, min(start + self.batch_size, n))
-            images = np.stack(
-                [self.dataset.pull_item(i)[0] for i in idx])
+            batch_imgs = []
+            batch_sizes = []
+            for i in idx:
+                img, target, h, w = self.dataset.pull_item(i)
+                batch_imgs.append(img)
+                batch_sizes.append((h, w))
+                t = np.asarray(target).reshape(-1, 5)
+                for cls in range(self.num_classes):
+                    rows = t[t[:, 4] == cls]
+                    if len(rows):
+                        gts[cls][i] = rows[:, :4] * [w, h, w, h]
             boxes, scores, classes, valid = (
-                np.asarray(a) for a in detect_batch(images))
+                np.asarray(a) for a in detect_batch(np.stack(batch_imgs)))
             for bi, i in enumerate(idx):
-                h, w = sizes[i]
+                h, w = batch_sizes[bi]
                 scale = np.array([w, h, w, h], np.float32)
                 for k in np.where(valid[bi])[0]:
                     cls = int(classes[bi, k])
@@ -160,12 +167,44 @@ class VOCEvaluator:
                 print(f"im_detect: {start}/{n}")
 
         aps = []
+        pr_curves = {}
         for cls in range(self.num_classes):
-            ap = voc_eval_class(dets[cls], gts[cls],
-                                use_07_metric=self.use_07_metric)
+            ap, rec, prec = voc_eval_class(
+                dets[cls], gts[cls], use_07_metric=self.use_07_metric,
+                return_pr=True)
             aps.append(ap)
+            pr_curves[self.class_names[cls]] = {
+                "ap": ap, "rec": rec, "prec": prec}
             if self.display:
-                print(f"AP[class {cls}] = {ap:.4f}")
+                print(f"AP[{self.class_names[cls]}] = {ap:.4f}")
         self.map = float(np.mean(aps))
         self.class_aps = aps
+        self.pr_curves = pr_curves
+        if self.output_dir:
+            self._persist(dets, pr_curves)
         return self.map
+
+    def _persist(self, dets, pr_curves):
+        """Write the reference evaluator's artifacts
+        (vocapi_evaluator_mask.py:59,89-90,140-155): VOC-format per-class
+        det files, a detections.pkl of everything, and per-class PR
+        pickles."""
+        import os
+        import pickle
+
+        os.makedirs(self.output_dir, exist_ok=True)
+        for cls, name in enumerate(self.class_names):
+            path = os.path.join(self.output_dir, f"det_test_{name}.txt")
+            with open(path, "w") as f:
+                for i, rows in enumerate(dets[cls]):
+                    for x1, y1, x2, y2, score in np.asarray(rows):
+                        # VOC det format: id score x1 y1 x2 y2 (1-based)
+                        f.write(f"{i:06d} {score:.6f} {x1 + 1:.1f} "
+                                f"{y1 + 1:.1f} {x2 + 1:.1f} {y2 + 1:.1f}\n")
+        with open(os.path.join(self.output_dir, "detections.pkl"),
+                  "wb") as f:
+            pickle.dump(dets, f, pickle.HIGHEST_PROTOCOL)
+        for name, pr in pr_curves.items():
+            with open(os.path.join(self.output_dir, f"{name}_pr.pkl"),
+                      "wb") as f:
+                pickle.dump(pr, f, pickle.HIGHEST_PROTOCOL)
