@@ -1,0 +1,75 @@
+"""Worker for the multi-host DCN test: one process of an N-process CPU
+cluster, 4 virtual devices each. Runs 2 deterministic train steps on a
+global batch assembled from per-host shards; process 0 saves params.
+
+Usage: python dcn_worker.py <port> <nproc> <pid> <outdir>
+"""
+
+import os
+import sys
+
+port, nproc, pid, outdir = (sys.argv[1], int(sys.argv[2]),
+                            int(sys.argv[3]), sys.argv[4])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=4")
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+import numpy as np  # noqa: E402
+
+from yolo_tpu.parallel import distributed  # noqa: E402
+
+distributed.initialize(f"localhost:{port}", nproc, pid)
+
+import jax  # noqa: E402
+
+assert jax.process_count() == nproc, jax.process_count()
+assert jax.device_count() == 4 * nproc
+
+from yolo_tpu.config import get_config  # noqa: E402
+from yolo_tpu.detector import Detector  # noqa: E402
+from yolo_tpu.train.targets import build_targets  # noqa: E402
+from yolo_tpu.train.trainer import TrainConfig, make_train_step  # noqa: E402
+from yolo_tpu.utils.checkpoint import save_checkpoint  # noqa: E402
+
+cfg = get_config("slim_yolo_v2", "mask", input_size=(64, 64))
+det = Detector(cfg)
+params = det.init_params(jax.random.PRNGKey(0))
+
+mesh = distributed.make_global_mesh()
+tc = TrainConfig()
+opt, step = make_train_step(det.module, cfg, tc, mesh=mesh, donate=False)
+opt_state = opt.init(params)
+
+from yolo_tpu.parallel.mesh import shard_params  # noqa: E402
+
+params = shard_params(mesh, params)
+opt_state = shard_params(mesh, opt_state)
+
+# deterministic global batch of 8; this host owns a contiguous slice
+rng = np.random.default_rng(42)
+g_images = rng.random((8, 64, 64, 3), dtype=np.float32)
+g_labels = [np.array([[0.1 + 0.05 * i, 0.2, 0.6, 0.8, i % 2]],
+                     np.float32) for i in range(8)]
+per = 8 // nproc
+lo = pid * per
+l_images = g_images[lo:lo + per]
+l_gt = build_targets(cfg, g_labels[lo:lo + per])
+
+images = distributed.host_local_to_global(mesh, l_images)
+gt = jax.tree_util.tree_map(
+    lambda a: distributed.host_local_to_global(mesh, a), l_gt)
+
+for _ in range(2):
+    params, opt_state, metrics = step(params, opt_state, images, gt, 1e-4)
+
+total = float(metrics["total_loss"])
+assert np.isfinite(total)
+if pid == 0:
+    save_checkpoint(os.path.join(outdir, "dcn_params.msgpack"),
+                    jax.device_get(params))
+print(f"worker {pid}: OK loss={total:.5f}")

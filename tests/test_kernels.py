@@ -7,11 +7,13 @@ import numpy as np
 import pytest
 
 from yolo_tpu.config import get_config
-from yolo_tpu.kernels.int8_conv import int8_conv3x3_requant
+from yolo_tpu.kernels.int8_conv import (
+    int8_conv3x3_im2col, int8_conv3x3_pool_requant, int8_conv3x3_requant)
 from yolo_tpu.quant import fixed_point as fp
 
 
-def _oracle(x, w, bq, sw, sb, sa_in, sa_out, retune, leaky, rounding):
+def _oracle(x, w, bq, sw, sb, sa_in, sa_out, retune, leaky, rounding,
+            pool=False):
     acc = fp._conv_int_np(np.asarray(x, np.int32), np.asarray(w))
     acc = fp._shift(acc, sw + sa_in - retune, rounding, np)
     acc = acc + fp._shift(np.asarray(bq, np.int32), sb - retune, rounding,
@@ -19,8 +21,9 @@ def _oracle(x, w, bq, sw, sb, sa_in, sa_out, retune, leaky, rounding):
     acc = np.clip(acc, fp.INT16_MIN, fp.INT16_MAX)
     if leaky:
         acc = np.where(acc >= 0, acc, fp._shift(acc, 3, rounding, np))
-    return np.clip(fp._shift(acc, retune - sa_out, rounding, np),
-                   fp.INT8_MIN, fp.INT8_MAX)
+    out = np.clip(fp._shift(acc, retune - sa_out, rounding, np),
+                  fp.INT8_MIN, fp.INT8_MAX)
+    return fp._maxpool_int_np(out) if pool else out
 
 
 @pytest.mark.parametrize("rounding", ["nearest", "floor"])
@@ -47,6 +50,52 @@ def test_kernel_negative_out_shift(rng):
     got = np.asarray(int8_conv3x3_requant(x, w, bq, rounding="nearest",
                                           interpret=True, **kw))
     want = _oracle(x, w, bq, rounding="nearest", **kw)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("pool", [False, True])
+@pytest.mark.parametrize("rounding", ["nearest", "floor"])
+def test_im2col_kernel_bit_exact(rng, pool, rounding):
+    """v3 kernel: dx-packed im2col + single matmul [+ fused pool]."""
+    B, H, W, Cin, Cout = 2, 8, 10, 16, 32
+    x = jnp.asarray(rng.integers(-128, 128, (B, H, W, Cin)), jnp.int8)
+    w = jnp.asarray(rng.integers(-30, 30, (3, 3, Cin, Cout)), jnp.int8)
+    bq = jnp.asarray(rng.integers(-100, 100, (Cout,)), jnp.int32)
+    kw = dict(sw=8, sb=7, sa_in=4, sa_out=4, retune=11)
+    got = np.asarray(int8_conv3x3_im2col(
+        x, w, bq, leaky=True, pool=pool, rounding=rounding,
+        interpret=True, **kw))
+    want = _oracle(x, w, bq, leaky=True, rounding=rounding, pool=pool,
+                   **kw)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_im2col_kernel_first_conv_shape(rng):
+    """Cin=3 (the conv1 shape class) with pool."""
+    x = jnp.asarray(rng.integers(-128, 128, (1, 16, 12, 3)), jnp.int8)
+    w = jnp.asarray(rng.integers(-30, 30, (3, 3, 3, 16)), jnp.int8)
+    bq = jnp.asarray(rng.integers(-100, 100, (16,)), jnp.int32)
+    kw = dict(sw=8, sb=7, sa_in=4, sa_out=4, retune=11)
+    got = np.asarray(int8_conv3x3_im2col(
+        x, w, bq, leaky=True, pool=True, interpret=True, **kw))
+    want = _oracle(x, w, bq, leaky=True, rounding="nearest", pool=True,
+                   **kw)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("rounding", ["nearest", "floor"])
+def test_pooled_window_kernel_bit_exact(rng, rounding):
+    """Pooled-window engine: conv+pool computed at pooled resolution via
+    a 4-phase-packed matmul with in-register phase max."""
+    B, H, W, Cin, Cout = 2, 8, 12, 16, 32
+    x = jnp.asarray(rng.integers(-128, 128, (B, H, W, Cin)), jnp.int8)
+    w = jnp.asarray(rng.integers(-30, 30, (3, 3, Cin, Cout)), jnp.int8)
+    bq = jnp.asarray(rng.integers(-100, 100, (Cout,)), jnp.int32)
+    kw = dict(sw=8, sb=7, sa_in=4, sa_out=4, retune=11)
+    got = np.asarray(int8_conv3x3_pool_requant(
+        x, w, bq, leaky=True, rounding=rounding, interpret=True, **kw))
+    want = _oracle(x, w, bq, leaky=True, rounding=rounding, pool=True,
+                   **kw)
     np.testing.assert_array_equal(got, want)
 
 

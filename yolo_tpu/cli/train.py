@@ -44,6 +44,10 @@ def parse_args(argv=None):
     parser.add_argument("--max_epoch", type=int, default=260)
     parser.add_argument("-r", "--resume", default=None,
                         help="checkpoint to resume from")
+    parser.add_argument("--pretrained_backbone", default=None,
+                        help="reference ImageNet backbone .pth to "
+                             "initialize from (darknet19/53/light, "
+                             "matched to -v; reference train.py:174-213)")
     parser.add_argument("-ms", "--multi_scale", action="store_true",
                         default=False)
     parser.add_argument("--cos", action="store_true", default=False)
@@ -52,12 +56,47 @@ def parse_args(argv=None):
     parser.add_argument("--num_workers", type=int, default=8)
     parser.add_argument("--mesh_data", type=int, default=None,
                         help="data-parallel mesh size (default: all devices)")
+    parser.add_argument("--dcn", default=None, metavar="COORD,N,ID",
+                        help="multi-host data parallelism: 'auto' to use "
+                             "the TPU environment, or "
+                             "'host:port,num_processes,process_id'")
     parser.add_argument("--debug", action="store_true", default=False)
     return parser.parse_args(argv)
 
 
+def load_pretrained_backbone(version: str, path: str):
+    """Dispatch the right ImageNet-backbone .pth importer for a model
+    version (reference builds every big model on pretrained darknet
+    weights, train.py:174-213 + backbone/darknet.py:258-328)."""
+    from yolo_tpu.utils import checkpoint as ckpt
+
+    loaders = {
+        "yolo_v2": ckpt.load_torch_darknet19,
+        "yolo_v3": ckpt.load_torch_darknet53,
+        "yolo_v3_spp": ckpt.load_torch_darknet53,
+        "tiny_yolo_v3": ckpt.load_torch_darknet_light,
+    }
+    if version not in loaders:
+        raise ValueError(
+            f"{version} has no pretrained backbone (reference trains "
+            f"slim_yolo_v2 from scratch, train.py:201-205)")
+    return loaders[version](path)
+
+
 def train(args=None):
     args = args or parse_args()
+
+    # multi-host DCN: join the job BEFORE any other jax use so the
+    # backend sees the global device set (reference has only a
+    # commented-out DataParallel here, train.py:218)
+    if args.dcn:
+        from yolo_tpu.parallel import distributed
+        if args.dcn == "auto":
+            distributed.initialize()
+        else:
+            coord, nproc, pid = args.dcn.rsplit(",", 2)
+            distributed.initialize(coord, int(nproc), int(pid))
+
     cfg = build_cfg(args)
     det = Detector(cfg)
 
@@ -66,7 +105,9 @@ def train(args=None):
 
     dataset = build_dataset(args, cfg, train=True)
     loader = BatchLoader(dataset, args.batch_size,
-                         num_workers=args.num_workers)
+                         num_workers=args.num_workers,
+                         process_id=jax.process_index(),
+                         process_count=jax.process_count())
     val_dataset = build_dataset(args, cfg, train=False)
     evaluator = VOCEvaluator(val_dataset, cfg.num_classes, cfg.input_size)
 
@@ -75,17 +116,32 @@ def train(args=None):
     if args.resume:
         print(f"resuming from {args.resume}")
         params, resume_extra = load_checkpoint(args.resume)
+    elif args.pretrained_backbone:
+        params = dict(params)
+        params["backbone"] = load_pretrained_backbone(
+            args.version, args.pretrained_backbone)
+        print(f"loaded pretrained backbone {args.pretrained_backbone}")
 
     tc = TrainConfig(base_lr=args.lr, wp_epoch=args.wp_epoch,
                      max_epoch=args.max_epoch, cos=args.cos)
     # data-parallel mesh over as many devices as evenly divide the batch
     # (a debug batch of 4 on 8 devices uses a 4-device mesh, not a crash)
-    import math
-    n_dev = jax.device_count()
-    data = (args.mesh_data if args.mesh_data is not None
-            else math.gcd(args.batch_size, n_dev))
-    mesh = (make_mesh(data=data, devices=jax.devices()[:data])
-            if data > 1 else None)
+    multihost = jax.process_count() > 1
+    if multihost:
+        from yolo_tpu.parallel import distributed
+        mesh = distributed.make_global_mesh()
+
+        def shard(mesh, batch):
+            return jax.tree_util.tree_map(
+                lambda a: distributed.host_local_to_global(mesh, a), batch)
+    else:
+        import math
+        n_dev = jax.device_count()
+        data = (args.mesh_data if args.mesh_data is not None
+                else math.gcd(args.batch_size, n_dev))
+        mesh = (make_mesh(data=data, devices=jax.devices()[:data])
+                if data > 1 else None)
+        shard = shard_batch
     opt, step = make_train_step(det.module, cfg, tc, mesh=mesh)
     opt_state = opt.init(params)
     if resume_extra and "opt_state" in resume_extra:
@@ -130,8 +186,8 @@ def train(args=None):
             lr = lr_at(tc, epoch, it, epoch_size)
             gt = build_targets(cur_cfg, targets)
             if mesh is not None:
-                images = shard_batch(mesh, images)
-                gt = shard_batch(mesh, gt)
+                images = shard(mesh, images)
+                gt = shard(mesh, gt)
             params, opt_state, metrics = step(params, opt_state, images,
                                               gt, lr)
             if it % 10 == 0:
@@ -152,14 +208,15 @@ def train(args=None):
 
         print(f"epoch {epoch} took {time.time() - t_epoch:.1f}s")
 
-        if (epoch + 1) % args.eval_epoch == 0:
+        if (epoch + 1) % args.eval_epoch == 0 and not multihost:
             mean_ap = evaluator.evaluate(
                 lambda imgs: det.detect(params, imgs))
             print(f"[Epoch {epoch}] mAP = {mean_ap:.4f}")
             metrics_log.log((epoch + 1) * epoch_size, mAP=mean_ap)
             if mean_ap > best_map:
                 best_map = mean_ap
-        if (epoch + 1) % 10 == 0 or epoch + 1 == args.max_epoch:
+        if ((epoch + 1) % 10 == 0 or epoch + 1 == args.max_epoch) and \
+                jax.process_index() == 0:
             from flax import serialization
             path = os.path.join(
                 save_dir, f"{args.version}_{epoch + 1}.msgpack")

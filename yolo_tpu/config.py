@@ -167,7 +167,12 @@ def get_config(
         "voc": voc_anchors, "mask": mask_anchors, "coco": coco_anchors,
     }[dataset]
     if input_size is None:
-        input_size = (240, 320) if model.startswith("slim") else (416, 416)
+        # -hr trains the big models at 640 (reference train.py:97-101:
+        # train_size = 640 if args.high_resolution else 416)
+        if model.startswith("slim"):
+            input_size = (240, 320)
+        else:
+            input_size = (640, 640) if hr else (416, 416)
     # v3-family anchor tables are in input pixels; v2-family in grid cells.
     anchor_units = "pixel" if "v3" in model else "grid"
     return DetectorConfig(

@@ -30,7 +30,16 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 8,
-                 prefetch: int = 4, seed: int = 0):
+                 prefetch: int = 4, seed: int = 0,
+                 process_id: int = 0, process_count: int = 1):
+        """``batch_size`` is the GLOBAL batch. With process_count > 1
+        (multi-host DCN data parallelism) each process loads only its
+        contiguous batch_size/process_count row-slice of every batch;
+        the shared shuffle seed keeps all hosts' global orders aligned
+        (assemble with parallel.distributed.host_local_to_global)."""
+        if batch_size % process_count:
+            raise ValueError(f"batch {batch_size} not divisible by "
+                             f"{process_count} processes")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -38,6 +47,8 @@ class BatchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
+        self.process_id = process_id
+        self.process_count = process_count
 
     def __len__(self):
         n = len(self.dataset)
@@ -51,8 +62,11 @@ class BatchLoader:
             self.rng.shuffle(idx)
         stop = (len(idx) // self.batch_size * self.batch_size
                 if self.drop_last else len(idx))
+        per = self.batch_size // self.process_count
+        lo = self.process_id * per
         for i in range(0, stop, self.batch_size):
-            yield idx[i:i + self.batch_size]
+            batch = idx[i:i + self.batch_size]
+            yield batch[lo:lo + per] if self.process_count > 1 else batch
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, List[np.ndarray]]]:
         pool = ThreadPoolExecutor(max_workers=self.num_workers)

@@ -24,13 +24,23 @@ The per-layer shift amounts are trace-time constants (the scale_w/
 scale_a/retune exponent tables, c_embedding/yolo_forward.c:32-35), so
 each layer compiles to a specialized kernel.
 
-Status / measured on v5e (via the axon tunnel): bit-exact with the XLA
-int8 graph and the numpy oracle on real hardware. Throughput is
-currently behind the XLA conv path (~9.5 TOPS marginal vs ~30 TOPS
-sustained for XLA int8 convs on this setup; per-dispatch tunnel latency
-~4-7 ms pollutes small-kernel measurements), so the int8 graph defaults
-to backend='xla' and this kernel is the reference native implementation
-selectable with backend='pallas'.
+Status / measured on v5e (via the axon tunnel): all three kernels in
+this file are bit-exact with the XLA int8 graph and the numpy oracle.
+Perf, measured round 2 with whole-graph prefix deltas (the only
+reliable method under the tunnel's multi-ms dispatch jitter):
+
+- XLA's native int8 convs run the small-C_in layers on the VPU with a
+  batch-minor layout (HLO-verified) at ~4.3 T-MACs/s — near VPU peak —
+  and the C_in>=64 layers on the MXU at 25-47 TOPS.
+- The Pallas kernels' in-VMEM im2col needs int8 lane/sublane shuffles
+  that Mosaic either rejects ("offset mismatch on non-concat
+  dimension") or lowers to multi-ms relayouts; XLA-side col assembly
+  (strided slice + concat of 3..48-lane int8 pieces) costs 3-7 ms/batch
+  at batch 128. Every assembled-matmul variant therefore loses to the
+  XLA conv on this toolchain, so the int8 graph defaults to
+  backend='xla'; the kernels remain the native reference implementation
+  (selectable with backend='pallas') and the bit-exactness harness for
+  the FPGA requant semantics.
 """
 
 from __future__ import annotations
@@ -109,6 +119,288 @@ def _conv_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, out_ref, *,
         acc = jnp.where(acc >= 0, acc, shift(acc, 3))
     out = jnp.clip(shift(acc, out_shift), INT8_MIN, INT8_MAX)
     out_ref[...] = out.astype(jnp.int8).reshape(nb, th, wp, c_out)
+
+
+def _im2col_kernel(x_ref, w_ref, b_ref, out_ref, *,
+                   nb: int, th: int, wp: int, c_in: int, c_out: int,
+                   acc_shift: int, out_shift: int, leaky: bool,
+                   pool: bool, rounding: str):
+    """One grid step: ``nb`` images x rows [i*th, i*th+th).
+
+    x_ref: [nb, 1, th+2, wp, 3*C_in] int8 — row chunk WITH its 2 halo
+      rows; the caller pre-packed the three horizontal (dx) taps along
+      the channel dim, so each pixel carries (dx, ci)-ordered lanes.
+    w_ref: [9*C_in, C_out] int8 — (dy, dx, ci)-ordered im2col weights.
+    b_ref: [1, C_out] int32 — bias at the retune scale.
+    out_ref: [nb, 1, th(/2), wp(/2), C_out] int8.
+
+    The 3x3 conv becomes ONE MXU matmul of [m, 9*C_in] x [9*C_in, C_out]
+    per block: the three dy taps are static row slices of the flattened
+    (rows x padded-width) plane at offset dy*wp (sublane-aligned because
+    wp is 32-aligned), concatenated along the contraction dim. This
+    lifts the MXU contraction from C_in (3..256) to 9*C_in (27..2304),
+    which is what makes the small-C_in layers fast; the requant chain
+    and the 2x2 maxpool run in-register before the int8 result leaves
+    VMEM.
+    """
+    shift = (_shift_round_nearest if rounding == "nearest"
+             else _shift_floor)
+    m = th * wp
+
+    cols = []
+    for i in range(nb):
+        flat = x_ref[i, 0].reshape((th + 2) * wp, 3 * c_in)
+        taps = [jax.lax.slice_in_dim(flat, dy * wp, dy * wp + m, axis=0)
+                for dy in range(3)]
+        cols.append(jnp.concatenate(taps, axis=1))  # [m, 9*C_in]
+    col = jnp.concatenate(cols, axis=0) if nb > 1 else cols[0]
+
+    acc = jax.lax.dot_general(
+        col, w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)  # [nb*m, C_out]
+
+    oth, owp = (th // 2, wp // 2) if pool else (th, wp)
+    if pool:
+        # 2x2 max on the raw int32 accumulator: exact (requant is
+        # monotone) and the requant chain then runs on 1/4 the values
+        a = acc.reshape(nb, th // 2, 2, wp // 2, 2, c_out)
+        acc = jnp.max(jnp.max(a, axis=4), axis=2).reshape(
+            nb * oth * owp, c_out)
+
+    # fixed-point requant chain (c_embedding/yolo_forward.c:233-257)
+    acc = shift(acc, acc_shift) + b_ref[0][None, :]
+    acc = jnp.clip(acc, INT16_MIN, INT16_MAX)
+    if leaky:
+        acc = jnp.where(acc >= 0, acc, shift(acc, 3))
+    out = jnp.clip(shift(acc, out_shift), INT8_MIN, INT8_MAX
+                   ).astype(jnp.int8)
+    out_ref[...] = out.reshape(nb, 1, oth, owp, c_out)
+
+
+def int8_conv3x3_im2col(x_q: jnp.ndarray, w_q: jnp.ndarray,
+                        b_q: jnp.ndarray, *, sw: int, sb: int,
+                        sa_in: int, sa_out: int, retune: int,
+                        leaky: bool = True, pool: bool = False,
+                        rounding: str = "nearest",
+                        row_tile: Optional[int] = None,
+                        batch_tile: Optional[int] = None,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Fused int8 conv3x3(s1,p1) + requant [+ 2x2 maxpool]: int8->int8.
+
+    v3 kernel: in-VMEM im2col -> one [m, 9*C_in] x [9*C_in, C_out] MXU
+    matmul per block. Bit-exact with the XLA graph / numpy oracle; the
+    fused pool is exact because every requant step is monotone.
+
+    Args are as int8_conv3x3_requant; ``pool`` additionally fuses the
+    2x2/2 max pool of the layer (c_embedding pools in-accelerator too,
+    yolo_forward.c:269-418 'pool' config bit).
+    """
+    b, h, w, c_in = x_q.shape
+    c_out = w_q.shape[-1]
+    if pool and (h % 2 or w % 2):
+        raise ValueError("pool requires even H, W")
+
+    # padded width: >= w+2, 32-aligned so int8 sublane slices stay cheap
+    wp = -(-(w + 2) // 32) * 32
+
+    # row tile: target m = th*wp around 2-8k rows; must divide h (and be
+    # even when pooling)
+    if row_tile is None:
+        row_tile = max(2 if pool else 1, min(h, 8192 // wp))
+    th = row_tile
+    step = 2 if pool else 1
+    while h % th or th % step:
+        th -= 1
+    # batch tile under a VMEM budget: im2col (m x 9C_in lane-padded) +
+    # acc (m x C_out int32) + input chunk, x2 for pipelining
+    m = th * wp
+    lane = 128
+    blk = (m * max(9 * c_in, lane) + 4 * m * max(c_out, lane) +
+           (th + 2) * wp * max(3 * c_in, lane))
+    nb = batch_tile or max(1, min(b, (6 << 20) // max(blk, 1)))
+    while b % nb:
+        nb -= 1
+
+    nt = h // th
+    # pad and pre-pack the three horizontal taps along C (the kernel
+    # then only needs sublane-aligned dy*wp row slices)
+    x_pad = jnp.pad(x_q, ((0, 0), (1, 1), (1, wp + 1 - w), (0, 0)))
+    x3 = jnp.concatenate(
+        [jax.lax.slice_in_dim(x_pad, dx, dx + wp, axis=2)
+         for dx in range(3)], axis=-1)  # [B, H+2, wp, 3*C_in]
+    # overlapping row chunks with halo: [B, nt, th+2, wp, 3*C_in]
+    chunks = jnp.stack(
+        [jax.lax.slice_in_dim(x3, i * th, i * th + th + 2, axis=1)
+         for i in range(nt)], axis=1)
+
+    w_flat = w_q.reshape(9 * c_in, c_out)
+    bofs = sb - retune
+    b32 = b_q.astype(jnp.int32)
+    if bofs <= 0:
+        bias_rt = b32 * (1 << -bofs)
+    elif rounding == "floor":
+        bias_rt = b32 >> bofs
+    else:
+        off = 1 << (bofs - 1)
+        bias_rt = jnp.right_shift(
+            b32 + off - (b32 < 0).astype(jnp.int32), bofs)
+    bias_rt = bias_rt.reshape(1, c_out)
+
+    kernel = functools.partial(
+        _im2col_kernel, nb=nb, th=th, wp=wp, c_in=c_in, c_out=c_out,
+        acc_shift=sa_in + sw - retune, out_shift=retune - sa_out,
+        leaky=leaky, pool=pool, rounding=rounding)
+
+    oth, owp = (th // 2, wp // 2) if pool else (th, wp)
+    flops = 2 * b * h * wp * c_in * c_out * 9
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // nb, nt),
+        in_specs=[
+            pl.BlockSpec((nb, 1, th + 2, wp, 3 * c_in),
+                         lambda bb, ti: (bb, ti, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * c_in, c_out), lambda bb, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda bb, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, 1, oth, owp, c_out),
+                               lambda bb, ti: (bb, ti, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nt, oth, owp, c_out),
+                                       jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=b * (h + 2 * nt) * wp * c_in + 9 * c_in * c_out
+            + b * (h // (2 if pool else 1)) * owp * c_out,
+            transcendentals=0),
+        interpret=interpret,
+    )(chunks, w_flat, bias_rt)
+    out = out.reshape(b, nt * oth, owp, c_out)
+    return jax.lax.slice_in_dim(out, 0, w // 2 if pool else w, axis=2)
+
+
+def _pool_matmul_kernel(x_ref, w_ref, b_ref, out_ref, *,
+                        c_out: int, acc_shift: int, out_shift: int,
+                        leaky: bool, rounding: str):
+    """One grid step of the pooled-window engine: [mb, 16*C_in] x
+    [16*C_in, 4*C_out] matmul, requant chain, then max over the four
+    pool phases (lane-rolls of the int32 accumulator; exact because the
+    requant chain is monotone)."""
+    shift = (_shift_round_nearest if rounding == "nearest"
+             else _shift_floor)
+    acc = jax.lax.dot_general(
+        x_ref[...], w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)  # [mb, 4*C_out]
+    # phase max: after two roll+max steps lanes [0:C_out] hold the max
+    # of all four phase groups
+    g = jnp.maximum(acc, pltpu.roll(acc, 3 * c_out, axis=1))
+    g = jnp.maximum(g, pltpu.roll(g, 2 * c_out, axis=1))
+    acc = jax.lax.slice_in_dim(g, 0, c_out, axis=1)
+
+    acc = shift(acc, acc_shift) + b_ref[0][None, :]
+    acc = jnp.clip(acc, INT16_MIN, INT16_MAX)
+    if leaky:
+        acc = jnp.where(acc >= 0, acc, shift(acc, 3))
+    out_ref[...] = jnp.clip(shift(acc, out_shift), INT8_MIN, INT8_MAX
+                            ).astype(jnp.int8)
+
+
+def int8_conv3x3_pool_requant(x_q: jnp.ndarray, w_q: jnp.ndarray,
+                              b_q: jnp.ndarray, *, sw: int, sb: int,
+                              sa_in: int, sa_out: int, retune: int,
+                              leaky: bool = True,
+                              rounding: str = "nearest",
+                              m_tile: int = 2048,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Fused int8 conv3x3(s1,p1) + 2x2/2 maxpool + requant, computed AT
+    POOLED RESOLUTION: int8 [B,H,W,C_in] -> int8 [B,H/2,W/2,C_out].
+
+    The pooled output pixel (u,v) = max over the four conv outputs in
+    its 2x2 window, all of which read the same 4x4 input window. XLA
+    assembles that window as a [B, H/2, W/2, 16*C_in] col tensor
+    (stride-2 slices); the Pallas kernel runs ONE MXU matmul against
+    [16*C_in, 4*C_out] phase-packed weights and reduces the phases
+    in-register. Contraction dim 16*C_in (48..2048) vs the native conv's
+    C_in (3..128) is what makes the small-C_in pool layers fast, and M
+    shrinks 4x because only pooled pixels are computed.
+
+    Bit-exact with conv+requant+pool of the XLA graph / numpy oracle
+    (pooling raw accumulators commutes with the monotone requant chain).
+    This is the TPU shape of the reference accelerator's fused
+    conv+pool pass (c_embedding/yolo_forward.c:269-418, 'pool' bit).
+    """
+    b, h, w, c_in = x_q.shape
+    c_out = w_q.shape[-1]
+    if h % 2 or w % 2:
+        raise ValueError("pooled conv requires even H, W")
+    ho, wo = h // 2, w // 2
+
+    # col tensor: 4x4 windows at stride 2 (window base row 2u-1)
+    xp = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cols = [jax.lax.slice(xp, (0, dy, dx, 0),
+                          (b, dy + 2 * ho - 1, dx + 2 * wo - 1, c_in),
+                          (1, 2, 2, 1))
+            for dy in range(4) for dx in range(4)]
+    col = jnp.concatenate(cols, axis=-1).reshape(b * ho * wo, 16 * c_in)
+
+    # phase-packed weights [16*C_in, 4*C_out]: phase p=(pr,pc) sees
+    # w[dy-pr, dx-pc] inside the 4x4 window, zero elsewhere
+    phases = []
+    for pr in range(2):
+        for pc in range(2):
+            wp_ = jnp.pad(w_q, ((pr, 1 - pr), (pc, 1 - pc),
+                                (0, 0), (0, 0)))
+            phases.append(wp_.reshape(16 * c_in, c_out))
+    w4 = jnp.concatenate(phases, axis=1)
+
+    bofs = sb - retune
+    b32 = b_q.astype(jnp.int32)
+    if bofs <= 0:
+        bias_rt = b32 * (1 << -bofs)
+    elif rounding == "floor":
+        bias_rt = b32 >> bofs
+    else:
+        off = 1 << (bofs - 1)
+        bias_rt = jnp.right_shift(
+            b32 + off - (b32 < 0).astype(jnp.int32), bofs)
+    bias_rt = bias_rt.reshape(1, c_out)
+
+    m = b * ho * wo
+    mb = min(m_tile, m)
+    while m % mb:
+        mb -= 1
+
+    kernel = functools.partial(
+        _pool_matmul_kernel, c_out=c_out,
+        acc_shift=sa_in + sw - retune, out_shift=retune - sa_out,
+        leaky=leaky, rounding=rounding)
+
+    flops = 2 * m * 16 * c_in * 4 * c_out
+    out = pl.pallas_call(
+        kernel,
+        grid=(m // mb,),
+        in_specs=[
+            pl.BlockSpec((mb, 16 * c_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * c_in, 4 * c_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((mb, c_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, c_out), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=m * 16 * c_in + 64 * c_in * c_out + m * c_out,
+            transcendentals=0),
+        interpret=interpret,
+    )(col, w4, bias_rt)
+    return out.reshape(b, ho, wo, c_out)
 
 
 def int8_conv3x3_requant(x_q: jnp.ndarray, w_q: jnp.ndarray,

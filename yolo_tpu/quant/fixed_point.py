@@ -136,15 +136,6 @@ def int8_forward(m: Int8Model, x_q: jnp.ndarray,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         )
-        # Max-pool the raw int32 accumulator BEFORE the requant chain:
-        # every requant step (shift/bias/clip/leaky/shift/clip) is
-        # monotone non-decreasing, so max commutes and the result is
-        # bit-identical to requant-then-pool (the oracle's order) while
-        # the elementwise chain runs on 4x fewer values.
-        if name != "pred" and pools[name]:
-            acc = jax.lax.reduce_window(
-                acc, jnp.int32(-2 ** 31), jax.lax.max,
-                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
         acc = _shift(acc, m.sw[name] + sa_in - r, rounding, jnp)
         acc = acc + _shift(m.b_q[name], m.sb[name] - r, rounding, jnp)
         acc = jnp.clip(acc, INT16_MIN, INT16_MAX)  # int16 accumulator
@@ -152,6 +143,15 @@ def int8_forward(m: Int8Model, x_q: jnp.ndarray,
             acc = _leaky_int(acc, rounding, jnp)
         out = _shift(acc, r - sa_out, rounding, jnp)
         out = jnp.clip(out, INT8_MIN, INT8_MAX).astype(jnp.int8)
+        # NOTE: pooling stays AFTER requant (int8). Max commutes with the
+        # monotone requant chain either way, but XLA fuses the requant
+        # into the conv epilogue while an int32 reduce_window before it
+        # forces an int32 HBM round-trip (~2ms/batch slower on conv1,
+        # measured on v5e).
+        if name != "pred" and pools[name]:
+            out = jax.lax.reduce_window(
+                out, jnp.int8(INT8_MIN), jax.lax.max,
+                (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
     # dequantize the head to float for decode
     return out.astype(jnp.float32) * (2.0 ** -m.sa["pred"])
 
