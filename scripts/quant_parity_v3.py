@@ -1,0 +1,122 @@
+"""mAP-delta quantization parity for the v3 family (VERDICT r1 item #6).
+
+Same harness as scripts/quant_parity.py but for tiny_yolo_v3 / yolo_v3 /
+yolo_v3_spp: train on the synthetic set, then measure mAP at
+
+  FP32 -> fake-quant INT8 (PTQ sim) -> true-integer INT8 engine
+
+and report the deltas. Acceptance: integer engine within 0.5 mAP of the
+fake-quant sim (the corrcoef>0.95 unit check is necessary but weak — a
+systematically biased layer can pass it; mAP-delta is the real bar).
+
+Run on TPU:  python scripts/quant_parity_v3.py -v tiny_yolo_v3
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from yolo_tpu.config import get_config
+from yolo_tpu.data import BaseTransform, BatchLoader, SyntheticDetection
+from yolo_tpu.detector import Detector
+from yolo_tpu.eval.voc_eval import VOCEvaluator
+from yolo_tpu.train.targets import build_targets
+from yolo_tpu.train.trainer import TrainConfig, lr_at, make_train_step
+from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def main(version: str = "tiny_yolo_v3", epochs: int = 40, size: int = 64,
+         batch: int = 16, skip_train: bool = False):
+    ckpt = f"/tmp/quant_parity_{version}.msgpack"
+    cfg = get_config(version, "mask", input_size=(size, size),
+                     conf_thresh=0.01)
+    det = Detector(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+
+    train_ds = SyntheticDetection((size, size), num_classes=2, length=128,
+                                  transform=BaseTransform((size, size)))
+    val_ds = SyntheticDetection((size, size), num_classes=2, length=48,
+                                transform=BaseTransform((size, size)),
+                                seed=99)
+    loader = BatchLoader(train_ds, batch, num_workers=4)
+    evaluator = VOCEvaluator(val_ds, 2, (size, size), batch_size=16)
+
+    if skip_train and os.path.exists(ckpt):
+        params, _ = load_checkpoint(ckpt)
+        print(f"loaded {ckpt}")
+    else:
+        tc = TrainConfig(base_lr=1e-3, wp_epoch=2, cos=True,
+                         max_epoch=epochs)
+        opt, step = make_train_step(det.module, cfg, tc, donate=False)
+        opt_state = opt.init(params)
+        t0 = time.time()
+        for epoch in range(epochs):
+            for it, (images, targets) in enumerate(loader):
+                lr = lr_at(tc, epoch, it, len(loader))
+                gt = build_targets(cfg, targets)
+                params, opt_state, metrics = step(params, opt_state,
+                                                  images, gt, lr)
+            if (epoch + 1) % 10 == 0:
+                print(f"epoch {epoch + 1}: loss="
+                      f"{float(metrics['total_loss']):.3f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+        save_checkpoint(ckpt, params)
+
+    results = {}
+    results["fp32"] = evaluator.evaluate(lambda im: det.detect(params, im))
+    print(f"fp32 mAP = {results['fp32']:.4f}", flush=True)
+
+    calib = [imgs for imgs, _ in
+             list(BatchLoader(train_ds, 16, shuffle=False,
+                              num_workers=4))][:8]
+
+    # fake-quant float sim via the generic model-agnostic PTQ
+    from yolo_tpu.quant.generic import quantize_detector
+
+    fq_detect, _ = quantize_detector(det, params, calib)
+    results["int8_fakequant"] = evaluator.evaluate(
+        lambda im: fq_detect(np.asarray(im, np.float32)))
+    print(f"fake-quant mAP = {results['int8_fakequant']:.4f}", flush=True)
+
+    # true integer engine
+    if version == "tiny_yolo_v3":
+        from yolo_tpu.quant.int8_models import (
+            make_int8_tiny_detect_fn, quantize_pipeline_tiny)
+        m = quantize_pipeline_tiny(params, cfg, calib)
+        int_detect = make_int8_tiny_detect_fn(m, cfg)
+    else:
+        from yolo_tpu.quant.int8_yolo_v3 import (
+            make_int8_yolo_v3_detect_fn, quantize_pipeline_yolo_v3)
+        m = quantize_pipeline_yolo_v3(params, cfg, calib,
+                                      spp=version.endswith("_spp"))
+        int_detect = make_int8_yolo_v3_detect_fn(m, cfg)
+    results["int8_integer"] = evaluator.evaluate(
+        lambda im: int_detect(np.asarray(im, np.float32)))
+    print(f"integer mAP = {results['int8_integer']:.4f}", flush=True)
+
+    delta = results["int8_fakequant"] - results["int8_integer"]
+    print(f"\n=== {version} parity ===")
+    for k, v in results.items():
+        print(f"  {k:16s}: {v:.4f}")
+    print(f"  integer vs fake-quant delta: {delta:+.4f} "
+          f"({'PASS' if abs(delta) <= 0.005 * 100 else 'CHECK'} at 0.5 mAP)")
+    return results
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("-v", "--version", default="tiny_yolo_v3",
+                   choices=["tiny_yolo_v3", "yolo_v3", "yolo_v3_spp"])
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--skip_train", action="store_true")
+    args = p.parse_args()
+    main(args.version, epochs=args.epochs, skip_train=args.skip_train)

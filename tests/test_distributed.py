@@ -18,7 +18,6 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(600)
 def test_two_process_dcn_matches_single_process(tmp_path):
     port = _free_port()
     helper = os.path.join(os.path.dirname(__file__), "helpers",

@@ -1,0 +1,58 @@
+"""Spatial ('space' axis) sharding correctness (VERDICT r1 item #9):
+H-sharded inference must produce the SAME numbers as unsharded — XLA
+inserts conv halo exchanges; these tests prove they are lossless, for
+both the fp32 predict graph and the INT8 integer engine."""
+
+import jax
+import numpy as np
+import pytest
+
+from yolo_tpu.config import get_config
+from yolo_tpu.detector import Detector
+from yolo_tpu.parallel import make_mesh, shard_batch, shard_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(64, 64))
+    det = Detector(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    images = rng.random((4, 64, 64, 3), dtype=np.float32)
+    return cfg, det, params, images
+
+
+def test_spatial_sharded_predict_equals_unsharded(setup):
+    cfg, det, params, images = setup
+    want_boxes, want_probs = (np.asarray(a) for a in
+                              jax.jit(det._predict)(params, images))
+
+    mesh = make_mesh(data=4, space=2)
+    p_sh = shard_params(mesh, params)
+    im_sh = shard_batch(mesh, images, spatial=True)
+    got_boxes, got_probs = (np.asarray(a) for a in
+                            jax.jit(det._predict)(p_sh, im_sh))
+    # halo exchange must be numerically lossless (same op order per
+    # output element)
+    np.testing.assert_allclose(got_boxes, want_boxes, rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(got_probs, want_probs, rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_spatial_sharded_int8_graph_bit_exact(setup):
+    """The integer engine is exact arithmetic, so spatial sharding must
+    be BIT-exact, not just close."""
+    cfg, det, params, images = setup
+    from yolo_tpu.quant.int8_graph import (
+        make_int8_detect_fn, quantize_pipeline)
+
+    m = quantize_pipeline(jax.device_get(params), cfg, [images[:2]])
+    detect = make_int8_detect_fn(m, cfg)
+    want = [np.asarray(a) for a in detect(images)]
+
+    mesh = make_mesh(data=4, space=2)
+    detect_sh = make_int8_detect_fn(m, cfg, mesh=mesh)
+    got = [np.asarray(a) for a in detect_sh(shard_batch(mesh, images))]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
