@@ -82,7 +82,7 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 40, size: int = 64,
     # fake-quant float sim via the generic model-agnostic PTQ
     from yolo_tpu.quant.generic import quantize_detector
 
-    fq_detect, _ = quantize_detector(det, params, calib)
+    _, _, fq_detect = quantize_detector(det, params, calib)
     results["int8_fakequant"] = evaluator.evaluate(
         lambda im: fq_detect(np.asarray(im, np.float32)))
     print(f"fake-quant mAP = {results['int8_fakequant']:.4f}", flush=True)
@@ -103,12 +103,32 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 40, size: int = 64,
         lambda im: int_detect(np.asarray(im, np.float32)))
     print(f"integer mAP = {results['int8_integer']:.4f}", flush=True)
 
-    delta = results["int8_fakequant"] - results["int8_integer"]
+    # head-clip variant: cap the prediction-head tracker range so box/
+    # class channels keep resolution (objectness logits saturate through
+    # sigmoid anyway) — the fix that put the slim engine at FP32 parity
+    # (docs/PARITY.md).
+    if version == "tiny_yolo_v3":
+        m_hc = quantize_pipeline_tiny(params, cfg, calib, head_clip=16.0)
+        int_detect_hc = make_int8_tiny_detect_fn(m_hc, cfg)
+    else:
+        m_hc = quantize_pipeline_yolo_v3(params, cfg, calib,
+                                         spp=version.endswith("_spp"),
+                                         head_clip=16.0)
+        int_detect_hc = make_int8_yolo_v3_detect_fn(m_hc, cfg)
+    results["int8_integer_headclip"] = evaluator.evaluate(
+        lambda im: int_detect_hc(np.asarray(im, np.float32)))
+    print(f"integer+headclip mAP = "
+          f"{results['int8_integer_headclip']:.4f}", flush=True)
+
+    best_int = max(results["int8_integer"],
+                   results["int8_integer_headclip"])
+    delta = results["int8_fakequant"] - best_int
     print(f"\n=== {version} parity ===")
     for k, v in results.items():
-        print(f"  {k:16s}: {v:.4f}")
-    print(f"  integer vs fake-quant delta: {delta:+.4f} "
-          f"({'PASS' if abs(delta) <= 0.005 * 100 else 'CHECK'} at 0.5 mAP)")
+        print(f"  {k:24s}: {v:.4f}")
+    # mAP here is a 0..1 fraction; "within 0.5 mAP points" = 0.005
+    print(f"  best-integer vs fake-quant delta: {delta:+.4f} "
+          f"({'PASS' if delta <= 0.005 else 'CHECK'} at 0.5 points)")
     return results
 
 

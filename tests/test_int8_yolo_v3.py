@@ -72,6 +72,45 @@ def test_int8_yolo_v3_close_to_float_sim(rng, spp):
         assert np.corrcoef(a, b)[0, 1] > 0.95
 
 
+def test_int8_tiny_detections_agree_with_fakequant(rng):
+    """Stronger than corrcoef (VERDICT r1 item #6, unit-level half):
+    the integer engine's DECODED DETECTIONS must agree with the
+    fake-quant float sim — same top box to within a couple of int8
+    quantization steps. A systematically biased layer passes corrcoef
+    but shifts boxes; this catches it. (The mAP-delta half lives in
+    scripts/quant_parity_v3.py + docs/PARITY.md.)"""
+    from yolo_tpu.quant.generic import quantize_detector
+    from yolo_tpu.quant.int8_models import (
+        make_int8_tiny_detect_fn, quantize_pipeline_tiny)
+
+    cfg = get_config("tiny_yolo_v3", "mask", input_size=(64, 64),
+                     top_k=10, pre_nms_top_k=64, conf_thresh=0.0)
+    det = Detector(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    batches = [rng.random((2, 64, 64, 3), dtype=np.float32)]
+
+    _, _, fq_detect = quantize_detector(det, params, batches)
+    m = quantize_pipeline_tiny(params, cfg, batches)
+    int_detect = make_int8_tiny_detect_fn(m, cfg)
+
+    x = np.asarray(batches[0], np.float32)
+    fb, fs, fc, fv = (np.asarray(a) for a in fq_detect(x))
+    ib, is_, ic, iv = (np.asarray(a) for a in int_detect(x))
+    for img in range(2):
+        # top-scoring box of each pipeline: same class, overlapping box,
+        # close score
+        f0, i0 = np.argmax(fs[img]), np.argmax(is_[img])
+        assert fc[img][f0] == ic[img][i0]
+        assert abs(fs[img][f0] - is_[img][i0]) < 0.15
+        bf, bi = fb[img][f0], ib[img][i0]
+        ix1, iy1 = max(bf[0], bi[0]), max(bf[1], bi[1])
+        ix2, iy2 = min(bf[2], bi[2]), min(bf[3], bi[3])
+        inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
+        area = ((bf[2] - bf[0]) * (bf[3] - bf[1]) +
+                (bi[2] - bi[0]) * (bi[3] - bi[1]) - inter)
+        assert inter / max(area, 1e-9) > 0.6, (bf, bi)
+
+
 @pytest.mark.skipif(not os.environ.get("YOLO_TPU_SLOW_TESTS"),
                     reason="extra 75-conv jit; set YOLO_TPU_SLOW_TESTS=1")
 def test_int8_yolo_v3_detect_fn(rng):
