@@ -93,6 +93,11 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 40, size: int = 64,
             make_int8_tiny_detect_fn, quantize_pipeline_tiny)
         m = quantize_pipeline_tiny(params, cfg, calib)
         int_detect = make_int8_tiny_detect_fn(m, cfg)
+    elif version == "yolo_v2":
+        from yolo_tpu.quant.int8_models import (
+            make_int8_yolo_v2_detect_fn, quantize_pipeline_yolo_v2)
+        m = quantize_pipeline_yolo_v2(params, cfg, calib)
+        int_detect = make_int8_yolo_v2_detect_fn(m, cfg)
     else:
         from yolo_tpu.quant.int8_yolo_v3 import (
             make_int8_yolo_v3_detect_fn, quantize_pipeline_yolo_v3)
@@ -110,6 +115,10 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 40, size: int = 64,
     if version == "tiny_yolo_v3":
         m_hc = quantize_pipeline_tiny(params, cfg, calib, head_clip=16.0)
         int_detect_hc = make_int8_tiny_detect_fn(m_hc, cfg)
+    elif version == "yolo_v2":
+        m_hc = quantize_pipeline_yolo_v2(params, cfg, calib,
+                                         head_clip=16.0)
+        int_detect_hc = make_int8_yolo_v2_detect_fn(m_hc, cfg)
     else:
         m_hc = quantize_pipeline_yolo_v3(params, cfg, calib,
                                          spp=version.endswith("_spp"),
@@ -135,8 +144,13 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 40, size: int = 64,
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("-v", "--version", default="tiny_yolo_v3",
-                   choices=["tiny_yolo_v3", "yolo_v3", "yolo_v3_spp"])
+                   choices=["tiny_yolo_v3", "yolo_v2", "yolo_v3",
+                            "yolo_v3_spp"])
     p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--size", type=int, default=64,
+                   help="input size (use 128 for the stride-32 yolo_v2 "
+                        "so the grid isn't 2x2)")
     p.add_argument("--skip_train", action="store_true")
     args = p.parse_args()
-    main(args.version, epochs=args.epochs, skip_train=args.skip_train)
+    main(args.version, epochs=args.epochs, size=args.size,
+         skip_train=args.skip_train)

@@ -199,3 +199,173 @@ def make_int8_tiny_detect_fn(m: Int8Tiny, cfg: DetectorConfig,
             cfg.pre_nms_top_k, cfg.top_k)
 
     return detect
+
+
+# ---------------------------------------------------------------------------
+# yolo_v2: darknet19 + reorg passthrough, true-integer.
+# ---------------------------------------------------------------------------
+
+# conv call order of yolo_v2.forward (models/yolo_v2.py:37-50: darknet19
+# sequences in order, then head). reorg is a pure int8 shuffle (scale-
+# preserving); the passthrough concat is handled by int_conv_requant's
+# split-conv (each branch keeps its own scale exactly).
+_D19_SEQ_LENS = (("conv_1", 1), ("conv_2", 1), ("conv_3", 3),
+                 ("conv_4", 3), ("conv_5", 5), ("conv_6", 5))
+V2_CONV_ORDER = tuple(
+    [f"{seq}.{j}" for seq, n in _D19_SEQ_LENS for j in range(n)] +
+    ["convsets_1.0", "convsets_1.1", "route_layer", "convsets_2.0",
+     "pred"])
+# 3x3 convs pad 1; the 1x1 bottlenecks (odd indices of conv_3..conv_6),
+# route_layer and pred pad 0 (reference backbone/darknet.py:40-108,
+# models/yolo_v2.py:29-34)
+_V2_PAD = {name: 0 if (name.split(".")[-1].isdigit() and
+                       int(name.split(".")[-1]) % 2 == 1)
+           else 1 for name in V2_CONV_ORDER}
+_V2_PAD.update({"route_layer": 0, "pred": 0, "convsets_1.0": 1,
+                "convsets_1.1": 1, "convsets_2.0": 1})
+
+
+@dataclass
+class Int8YoloV2:
+    w_q: Dict[str, jnp.ndarray]
+    b_q: Dict[str, jnp.ndarray]
+    sw: Dict[str, int]
+    sb: Dict[str, int]
+    sa: Dict[str, int]
+    retune: Dict[str, int]
+
+
+def _flat_v2_params(fused) -> Dict[str, dict]:
+    bb = fused["backbone"]
+    flat = {}
+    for seq, n in _D19_SEQ_LENS:
+        for j in range(n):
+            flat[f"{seq}.{j}"] = bb[seq][j]
+    flat["convsets_1.0"] = fused["convsets_1"][0]
+    flat["convsets_1.1"] = fused["convsets_1"][1]
+    flat["route_layer"] = fused["route_layer"]
+    flat["convsets_2.0"] = fused["convsets_2"][0]
+    flat["pred"] = fused["pred"]
+    return flat
+
+
+def quantize_yolo_v2(fused, tracker_states: List[dict],
+                     pre_maxima: List[float],
+                     acc_bits: int = 16) -> Int8YoloV2:
+    """BN-fused yolo_v2 params + generic calibration -> integer model."""
+    flat = _flat_v2_params(fused)
+    w_q, b_q, sw, sb, sa, retune = {}, {}, {}, {}, {}, {}
+    sa["in"] = int(jnp.log2(q.tracker_pow2(tracker_states[0])))
+    limit = 2.0 ** (acc_bits - 1)
+    for i, name in enumerate(V2_CONV_ORDER):
+        layer = flat[name]
+        wq, wscale = q.quantize_pow2(layer["w"])
+        bq, bscale = q.quantize_pow2(layer["b"])
+        w_q[name] = jnp.clip(wq, fp.INT8_MIN, fp.INT8_MAX).astype(jnp.int8)
+        b_q[name] = jnp.clip(bq, fp.INT8_MIN, fp.INT8_MAX).astype(jnp.int32)
+        sw[name] = int(jnp.log2(wscale))
+        sb[name] = int(jnp.log2(bscale))
+        sa[name] = int(jnp.log2(q.tracker_pow2(tracker_states[i + 1])))
+        mx = float(pre_maxima[i])
+        retune[name] = (acc_bits - 2 if mx <= 0 else
+                        min(acc_bits - 2,
+                            int(math.floor(math.log2(limit / mx)))))
+    return Int8YoloV2(w_q, b_q, sw, sb, sa, retune)
+
+
+def int8_yolo_v2_forward(m: Int8YoloV2, x_q: jnp.ndarray,
+                         rounding: str = "nearest"):
+    """int8 input -> [pred] float head (stride 32), the integer version
+    of models/yolo_v2.forward incl. the reorg passthrough concat."""
+    from yolo_tpu.ops import blocks
+
+    def conv(name, x, sa_in, leaky=True):
+        return fp.int_conv_requant(
+            x, m.w_q[name], m.b_q[name], sw=m.sw[name], sb=m.sb[name],
+            sa_in=sa_in, sa_out=m.sa[name], retune=m.retune[name],
+            padding=_V2_PAD[name], leaky=leaky, rounding=rounding)
+
+    def run_seq_int(seq, n, x, prev):
+        for j in range(n):
+            name = f"{seq}.{j}"
+            x = conv(name, x, sa_in=m.sa[prev])
+            prev = name
+        return x, prev
+
+    out, prev = x_q, "in"
+    out, prev = run_seq_int("conv_1", 1, out, prev)
+    out = fp.int_maxpool(out)
+    out, prev = run_seq_int("conv_2", 1, out, prev)
+    out = fp.int_maxpool(out)
+    out, prev = run_seq_int("conv_3", 3, out, prev)
+    out = fp.int_maxpool(out)
+    c4, prev4 = run_seq_int("conv_4", 3, out, prev)
+    c5, prev5 = run_seq_int("conv_5", 5, fp.int_maxpool(c4), prev4)
+    c6, prev6 = run_seq_int("conv_6", 5, fp.int_maxpool(c5), prev5)
+
+    fp2 = conv("convsets_1.0", c6, sa_in=m.sa[prev6])
+    fp2 = conv("convsets_1.1", fp2, sa_in=m.sa["convsets_1.0"])
+    route = conv("route_layer", c5, sa_in=m.sa[prev5])
+    fp1 = blocks.reorg(route, 2)  # pure int8 shuffle, scale-preserving
+
+    # passthrough concat [fp1, fp2]: split conv, exact per-branch scales
+    head = conv("convsets_2.0",
+                [(fp1, m.sa["route_layer"]), (fp2, m.sa["convsets_1.1"])],
+                sa_in=None)
+    pred = conv("pred", head, sa_in=m.sa["convsets_2.0"], leaky=False)
+    return [pred.astype(jnp.float32) * 2.0 ** -m.sa["pred"]]
+
+
+def quantize_pipeline_yolo_v2(params_fp32, cfg: DetectorConfig,
+                              calib_batches, max_images: int = 1000,
+                              head_clip: float = None) -> Int8YoloV2:
+    """Full PTQ for yolo_v2: fold BN -> generic fake-quant + calibration
+    -> accumulator headroom -> integer model."""
+    from yolo_tpu.models import yolo_v2
+    from yolo_tpu.quant.bn_fold import fold_batch_norm
+    from yolo_tpu.quant.generic import (
+        calibrate_generic, fake_quantize_all_convs, quant_forward_generic)
+
+    calib_batches = list(calib_batches)
+    fused = fold_batch_norm(params_fp32)
+    params_q = fake_quantize_all_convs(fused)
+    states = calibrate_generic(yolo_v2, params_q, cfg, calib_batches,
+                               max_images=max_images, head_clip=head_clip)
+
+    @jax.jit
+    def maxima_step(x):
+        _, _, pre = quant_forward_generic(yolo_v2, params_q, x, cfg,
+                                          states)
+        return pre
+
+    agg = None
+    for x in calib_batches:
+        pre = jax.device_get(maxima_step(jnp.asarray(x)))
+        agg = pre if agg is None else [max(float(a), float(b))
+                                       for a, b in zip(agg, pre)]
+    return quantize_yolo_v2(fused, states, agg)
+
+
+def make_int8_yolo_v2_detect_fn(m: Int8YoloV2, cfg: DetectorConfig,
+                                rounding: str = "nearest"):
+    """Jitted end-to-end int8 yolo_v2 detector."""
+    from yolo_tpu import detector as D
+    from yolo_tpu.ops import nms
+
+    class _Mod:
+        STRIDES = (32,)
+
+        @staticmethod
+        def forward(p, x, cfg, train=False):
+            assert not train
+            return int8_yolo_v2_forward(
+                m, fp.quantize_input(x, m.sa["in"]), rounding)
+
+    @jax.jit
+    def detect(images):
+        boxes, probs = D.predict(_Mod, None, images, cfg)
+        return nms.batched_postprocess(
+            boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
+            cfg.pre_nms_top_k, cfg.top_k)
+
+    return detect
