@@ -106,3 +106,40 @@ def test_multi_scale_sizes():
     sizes = multi_scale_sizes()
     assert sizes[0] == (320, 320) and sizes[-1] == (608, 608)
     assert all(h % 32 == 0 for h, _ in sizes)
+
+
+def test_bf16_mixed_precision_step(rng):
+    """bf16 compute with fp32 master params: loss close to the fp32
+    step's, params stay fp32, training still descends."""
+    import jax
+
+    from yolo_tpu.config import get_config
+    from yolo_tpu.detector import Detector
+    from yolo_tpu.train.targets import build_targets
+    from yolo_tpu.train.trainer import TrainConfig, make_train_step
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    det = Detector(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    images = rng.random((2, 32, 32, 3), dtype=np.float32)
+    gt = build_targets(cfg, [np.array([[0.2, 0.2, 0.7, 0.8, 1.0]])] * 2)
+
+    tc32 = TrainConfig()
+    tc16 = TrainConfig(compute_dtype="bfloat16")
+    opt32, step32 = make_train_step(det.module, cfg, tc32, donate=False)
+    opt16, step16 = make_train_step(det.module, cfg, tc16, donate=False)
+
+    p32, o32 = params, opt32.init(params)
+    p16, o16 = params, opt16.init(params)
+    losses16 = []
+    for i in range(5):
+        p32, o32, m32 = step32(p32, o32, images, gt, 1e-4)
+        p16, o16, m16 = step16(p16, o16, images, gt, 1e-4)
+        losses16.append(float(m16["total_loss"]))
+        # bf16 loss tracks the fp32 loss
+        assert abs(float(m32["total_loss"]) - losses16[-1]) < \
+            0.10 * max(1.0, float(m32["total_loss"]))
+    # master params remain fp32
+    leaf = jax.tree_util.tree_leaves(p16)[0]
+    assert leaf.dtype == np.float32
+    assert losses16[-1] < losses16[0]

@@ -51,6 +51,9 @@ def parse_args(argv=None):
     parser.add_argument("-ms", "--multi_scale", action="store_true",
                         default=False)
     parser.add_argument("--cos", action="store_true", default=False)
+    parser.add_argument("--bf16", action="store_true", default=False,
+                        help="bf16 mixed-precision compute (fp32 master "
+                             "params/optimizer)")
     parser.add_argument("--eval_epoch", type=int, default=10)
     parser.add_argument("--save_folder", default="weights/")
     parser.add_argument("--num_workers", type=int, default=8)
@@ -123,7 +126,8 @@ def train(args=None):
         print(f"loaded pretrained backbone {args.pretrained_backbone}")
 
     tc = TrainConfig(base_lr=args.lr, wp_epoch=args.wp_epoch,
-                     max_epoch=args.max_epoch, cos=args.cos)
+                     max_epoch=args.max_epoch, cos=args.cos,
+                     compute_dtype="bfloat16" if args.bf16 else None)
     # data-parallel mesh over as many devices as evenly divide the batch
     # (a debug batch of 4 on 8 devices uses a 4-device mesh, not a crash)
     multihost = jax.process_count() > 1
