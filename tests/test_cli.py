@@ -90,3 +90,58 @@ def test_serve_cli_fake(monkeypatch):
                        "--iters", "2", "--fp32"])
     fps = main(args)
     assert fps > 0
+
+
+def test_demo_cli_image_mode(tmp_path):
+    """Demo image mode: detect over a dir of jpgs, write annotated jpgs
+    (reference demo.py:100-121)."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    from yolo_tpu.cli.demo import detect, parse_args
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        cv2.imwrite(str(img_dir / f"f{i}.jpg"),
+                    rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    out_dir = tmp_path / "out"
+    args = parse_args([
+        "-v", "slim_yolo_v2", "-d", "synthetic",
+        "--input_size", "32", "32",
+        "--mode", "image", "--path_to_img", str(img_dir),
+        "--path_to_save", str(out_dir)])
+    detect(args)
+    assert sorted(p.name for p in out_dir.iterdir()) == ["0.jpg", "1.jpg"]
+
+
+def test_demo_cli_video_mode(tmp_path):
+    """Demo video mode: read a tiny .avi, write the annotated det.avi
+    (reference demo.py:124-158)."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    from yolo_tpu.cli.demo import detect, parse_args
+
+    vid = str(tmp_path / "in.avi")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"XVID"), 10.0,
+                        (64, 48))
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        w.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    w.release()
+
+    out_dir = tmp_path / "out"
+    args = parse_args([
+        "-v", "slim_yolo_v2", "-d", "synthetic",
+        "--input_size", "32", "32",
+        "--mode", "video", "--path_to_vid", vid,
+        "--path_to_save", str(out_dir)])
+    detect(args)
+    assert (out_dir / "det.avi").exists()
+    cap = cv2.VideoCapture(str(out_dir / "det.avi"))
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 3
