@@ -1,8 +1,11 @@
-"""Stage- and layer-level timing of the INT8 serving graph on the TPU.
+"""Prefix-graph attribution of the INT8 serving pipeline on the TPU.
 
-Identifies where the batch-128 @416² pipeline spends its time:
-input quantize -> int8 backbone -> decode -> NMS, plus per-layer conv
-cost, so perf work targets the real bottleneck (VERDICT r1 weak #2).
+The only reliable per-layer costing under the tunnel's multi-ms dispatch
+jitter (docs/PERFORMANCE.md): jit the first k layers of the REAL fused
+graph for k = 1..N and difference adjacent timings. All stage outputs
+reduce to scalars so transfer time never pollutes the numbers.
+
+Run on TPU:  python scripts/profile_int8.py [--batch 128] [--size 416]
 """
 
 from __future__ import annotations
@@ -20,12 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=20, warmup=3):
+def timeit(f, *a, iters=25, warmup=3):
     for _ in range(warmup):
-        jax.device_get(fn(*args))
+        jax.device_get(f(*a))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
+        out = f(*a)
     jax.device_get(out)
     return (time.perf_counter() - t0) / iters
 
@@ -34,74 +37,80 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--size", type=int, default=416)
-    p.add_argument("--backend", default="xla")
     args = p.parse_args()
 
     from yolo_tpu.config import get_config
+    from yolo_tpu.models.slim_yolo_v2 import CONV_LAYERS
+    from yolo_tpu.ops import nms as nms_mod
     from yolo_tpu.quant import fixed_point as fp
-    from yolo_tpu.quant.int8_graph import (
-        build_int8_detect, int8_predict, make_int8_detect_fn)
+    from yolo_tpu.quant.int8_graph import build_int8_detect, int8_predict
+    from yolo_tpu.quant.qsim import QUANT_LAYER_NAMES, TRACKER_NAMES
 
     cfg = get_config("slim_yolo_v2", "mask",
-                     input_size=(args.size, args.size), pre_nms_top_k=256)
-    fn, m = build_int8_detect(cfg, backend=args.backend)
+                     input_size=(args.size, args.size), pre_nms_top_k=128)
+    _, m = build_int8_detect(cfg)
 
     b, s = args.batch, args.size
-    images = jax.device_put(np.random.default_rng(0).random(
-        (b, s, s, 3), dtype=np.float32))
+    rng = np.random.default_rng(0)
+    images = jax.device_put(rng.random((b, s, s, 3), dtype=np.float32))
+    xq = jax.device_put(
+        rng.integers(-128, 127, (b, s, s, 3), dtype=np.int8))
 
-    # stage timings
-    q = jax.jit(lambda im: fp.quantize_input(im, m.sa["in"]))
-    x_q = jax.device_get(q(images))
-    x_q_dev = jax.device_put(x_q)
+    pools = {name: pool for name, _, _, pool in CONV_LAYERS}
+    names = list(TRACKER_NAMES)
 
-    fwd = jax.jit(lambda xq: fp.int8_forward(m, xq, "nearest"))
-    pred = jax.jit(lambda im: int8_predict(m, im, cfg, "nearest",
-                                           args.backend))
-    full = make_int8_detect_fn(m, cfg, "nearest", args.backend)
-
-    t_q = timeit(q, images)
-    t_fwd = timeit(fwd, x_q_dev)
-    t_pred = timeit(pred, images)
-    t_full = timeit(full, images)
-
-    print(f"batch {b} @{s}²  ({args.backend})")
-    print(f"  quantize_input        : {t_q*1e3:8.2f} ms"
-          f"  ({b/t_q:9.0f} img/s)")
-    print(f"  int8 backbone         : {t_fwd*1e3:8.2f} ms"
-          f"  ({b/t_fwd:9.0f} img/s)")
-    print(f"  + decode (pred)       : {t_pred*1e3:8.2f} ms"
-          f"  ({b/t_pred:9.0f} img/s)")
-    print(f"  + NMS (full)          : {t_full*1e3:8.2f} ms"
-          f"  ({b/t_full:9.0f} img/s)")
-
-    # per-layer conv timings on the real int8 graph shapes
-    from yolo_tpu.quant.fixed_point import CONV_LAYERS
-    print("  per-layer int8 conv (XLA):")
-    x = x_q_dev
-    for name, c_in, c_out, pool in CONV_LAYERS:
-        wq = m.w_q[name]
-
-        def one(xq, wq=wq):
+    def prefix_forward(x_q, k, rounding="nearest"):
+        out = x_q
+        for i, name in enumerate(QUANT_LAYER_NAMES[:k]):
+            sa_in, sa_out = m.sa[names[i]], m.sa[names[i + 1]]
+            r = m.retune[name]
             acc = jax.lax.conv_general_dilated(
-                xq.astype(jnp.int32), wq.astype(jnp.int32),
-                window_strides=(1, 1), padding="SAME",
+                out.astype(jnp.int8), m.w_q[name], (1, 1),
+                ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32)
-            return jnp.clip(acc >> 7, -128, 127).astype(jnp.int8)
+            acc = fp._shift(acc, m.sw[name] + sa_in - r, rounding, jnp)
+            acc = acc + fp._shift(m.b_q[name], m.sb[name] - r, rounding,
+                                  jnp)
+            acc = jnp.clip(acc, fp.INT16_MIN, fp.INT16_MAX)
+            if name != "pred":
+                acc = fp._leaky_int(acc, rounding, jnp)
+            out = jnp.clip(fp._shift(acc, r - sa_out, rounding, jnp),
+                           -128, 127).astype(jnp.int8)
+            if name != "pred" and pools.get(name):
+                out = jax.lax.reduce_window(
+                    out, jnp.int8(-128), jax.lax.max,
+                    (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        return jnp.sum(out.astype(jnp.int32))
 
-        j = jax.jit(one)
-        t = timeit(j, x, iters=10)
-        macs = b * x.shape[1] * x.shape[2] * c_in * c_out * 9
-        tops = 2 * macs / t / 1e12
-        print(f"    {name:8s} {x.shape[1]:4d}x{x.shape[2]:<4d}"
-              f" {c_in:3d}->{c_out:3d} : {t*1e3:7.2f} ms  {tops:6.1f} TOPS")
-        x = jax.device_put(np.asarray(jax.device_get(j(x))))
-        if pool:
-            x = jax.device_put(np.asarray(jax.device_get(jax.jit(
-                lambda v: jax.lax.reduce_window(
-                    v, jnp.int8(-128), jax.lax.max,
-                    (1, 2, 2, 1), (1, 2, 2, 1), "VALID"))(x))))
+    print(f"batch {b} @{s}² — prefix-graph per-layer attribution")
+    prev = 0.0
+    for k in range(1, len(QUANT_LAYER_NAMES) + 1):
+        f = jax.jit(lambda x, k=k: prefix_forward(x, k))
+        t = timeit(f, xq)
+        print(f"  prefix {k:2d} ({QUANT_LAYER_NAMES[k-1]:8s}):"
+              f" {t*1e3:7.2f} ms   delta {(t-prev)*1e3:7.2f} ms",
+              flush=True)
+        prev = t
+
+    # whole-pipeline stages, scalar-reduced
+    def full(im):
+        boxes, probs = int8_predict(m, im, cfg, "nearest", "xla")
+        out = nms_mod.batched_postprocess(
+            boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
+            cfg.pre_nms_top_k, cfg.top_k)
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+
+    def no_nms(im):
+        boxes, probs = int8_predict(m, im, cfg, "nearest", "xla")
+        return jnp.sum(boxes) + jnp.sum(probs)
+
+    t_body = timeit(jax.jit(no_nms), images)
+    t_full = timeit(jax.jit(full), images)
+    print(f"  quantize+backbone+decode : {t_body*1e3:7.2f} ms"
+          f"  ({b/t_body:8.0f} img/s)")
+    print(f"  + NMS (full pipeline)    : {t_full*1e3:7.2f} ms"
+          f"  ({b/t_full:8.0f} img/s)")
 
 
 if __name__ == "__main__":
