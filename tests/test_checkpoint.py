@@ -115,3 +115,42 @@ def test_load_torch_fused_with_trackers(tmp_path):
     assert "b" in params["conv1"]
     assert trackers["in"] == 32.0 and trackers["conv3_1"] == 32.0
     assert len(trackers) == 11
+
+
+def test_orbax_roundtrip(tmp_path):
+    """Orbax directory checkpoint: host arrays round-trip with extra
+    metadata."""
+    from yolo_tpu.utils.checkpoint import (
+        load_checkpoint_orbax, save_checkpoint_orbax)
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    params = slim_yolo_v2.init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ckpt_orbax")
+    save_checkpoint_orbax(path, jax.device_get(params),
+                          extra={"epoch": 7})
+    loaded, extra = load_checkpoint_orbax(path)
+    assert extra["epoch"] == 7
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(loaded)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_orbax_sharded_save_restore(tmp_path):
+    """Sharded jax.Arrays (8-device mesh) save and restore; restored
+    values equal the original."""
+    from yolo_tpu.parallel.mesh import make_mesh, shard_params
+    from yolo_tpu.utils.checkpoint import (
+        load_checkpoint_orbax, save_checkpoint_orbax)
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    params = slim_yolo_v2.init_params(jax.random.PRNGKey(1), cfg)
+    mesh = make_mesh(data=8)
+    sharded = shard_params(mesh, params)
+    path = str(tmp_path / "ckpt_orbax_sh")
+    save_checkpoint_orbax(path, sharded)
+    loaded, _ = load_checkpoint_orbax(path)
+    for x, y in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -34,6 +34,48 @@ def load_checkpoint(path: str):
 
 
 # ---------------------------------------------------------------------------
+# Orbax backend (production / multi-host checkpoints).
+# ---------------------------------------------------------------------------
+#
+# msgpack (above) is the simple single-host format; orbax writes each
+# array as a separate (optionally sharded) record, so on a multi-host
+# DCN job every process saves only its addressable shards and restore
+# can re-shard directly onto a mesh. Directory-per-checkpoint layout.
+
+
+def save_checkpoint_orbax(path: str, params, extra: Optional[dict] = None
+                          ) -> None:
+    """Save a pytree (plus a small ``extra`` metadata tree) as an orbax
+    checkpoint directory. Works with sharded jax.Arrays on any mesh and
+    with multi-process (DCN) jobs."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    payload = {"params": params}
+    if extra:
+        payload["extra"] = extra
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+
+
+def load_checkpoint_orbax(path: str, target=None):
+    """Restore (params, extra). With ``target`` (a pytree of
+    jax.ShapeDtypeStruct or arrays with shardings), arrays restore
+    directly into that structure/sharding; otherwise host numpy."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if target is not None:
+            payload = ckptr.restore(
+                path, args=ocp.args.PyTreeRestore(
+                    {"params": target, "extra": None}))
+        else:
+            payload = ckptr.restore(path)
+    return payload["params"], payload.get("extra")
+
+
+# ---------------------------------------------------------------------------
 # Torch .pth import (reference checkpoint compatibility).
 # ---------------------------------------------------------------------------
 
