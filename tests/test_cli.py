@@ -92,6 +92,28 @@ def test_serve_cli_fake(monkeypatch):
     assert fps > 0
 
 
+def test_visual_test_cli_int8_dispatch(tmp_path, monkeypatch):
+    """test -q must dispatch on -v to each family's integer engine
+    (ADVICE r2: the slim-only pipeline KeyError'd on other versions)."""
+    pytest.importorskip("cv2")
+    from yolo_tpu.cli.test import parse_args, test as run_test
+
+    for version in ("slim_yolo_v2", "tiny_yolo_v3"):
+        out = tmp_path / version
+        args = parse_args([
+            "-v", version, "-d", "synthetic", "--input_size", "64", "64",
+            "-q", "--num_images", "2", "--output", str(out)])
+        run_test(args)
+        assert sorted(p.name for p in out.iterdir()) == ["0.jpg", "1.jpg"]
+
+
+def test_int8_dispatch_unknown_version():
+    from yolo_tpu.quant.dispatch import build_int8_detector
+
+    with pytest.raises(ValueError, match="no INT8 engine"):
+        build_int8_detector("nope", None, None, [])
+
+
 def test_demo_cli_image_mode(tmp_path):
     """Demo image mode: detect over a dir of jpgs, write annotated jpgs
     (reference demo.py:100-121)."""

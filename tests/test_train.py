@@ -143,3 +143,42 @@ def test_bf16_mixed_precision_step(rng):
     leaf = jax.tree_util.tree_leaves(p16)[0]
     assert leaf.dtype == np.float32
     assert losses16[-1] < losses16[0]
+
+
+def test_bf16_preserves_fp32_masters(rng):
+    """The bf16 step must never round master weights through bf16: with
+    lr=0 (and wd folded to a zero update by the lr) every non-BN-stat
+    leaf must come back BIT-IDENTICAL, and sub-bf16-ulp perturbations
+    must survive the step (ADVICE r2 high: trainer.py master-weight
+    re-rounding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.config import get_config
+    from yolo_tpu.detector import Detector
+    from yolo_tpu.train.targets import build_targets
+    from yolo_tpu.train.trainer import TrainConfig, make_train_step
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    det = Detector(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    # add a perturbation far below the bf16 ulp of each weight: a cast
+    # through bf16 would erase it
+    params = jax.tree_util.tree_map(
+        lambda p: p + jnp.float32(1e-7) * (jnp.abs(p) + 1e-3), params)
+    images = rng.random((2, 32, 32, 3), dtype=np.float32)
+    gt = build_targets(cfg, [np.array([[0.2, 0.2, 0.7, 0.8, 1.0]])] * 2)
+
+    tc = TrainConfig(compute_dtype="bfloat16", weight_decay=0.0)
+    opt, step = make_train_step(det.module, cfg, tc, donate=False)
+    p1, _, _ = step(params, opt.init(params), images, gt, 0.0)
+
+    flat0 = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(p1)[0]
+    for (path, a), (_, b) in zip(flat0, flat1):
+        keys = [getattr(k, "key", None) for k in path]
+        if "bn" in keys and keys[-1] in ("mean", "var"):
+            continue  # running stats legitimately update in the forward
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"master weight re-rounded at {keys}")

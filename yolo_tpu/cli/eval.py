@@ -52,13 +52,10 @@ def evaluate(args=None):
                              batch_size=args.batch_size, display=True)
 
     if args.quantize:
-        from yolo_tpu.quant.int8_graph import (
-            make_int8_detect_fn, quantize_pipeline)
+        from yolo_tpu.quant.dispatch import build_int8_detector
         calib = [np.stack([dataset.pull_item(i)[0] for i in
                            range(min(16, len(dataset)))])]
-        m = quantize_pipeline(params, cfg, calib,
-                              fold_bn=not args.version.endswith("_q_bf"))
-        detect = make_int8_detect_fn(m, cfg)
+        _, detect = build_int8_detector(args.version, params, cfg, calib)
         mean_ap = evaluator.evaluate(lambda imgs: detect(
             np.asarray(imgs, np.float32)))
     else:

@@ -67,16 +67,15 @@ def test(args=None):
         from yolo_tpu.data.voc import VOC_CLASSES as class_names
 
     # -q: run the INT8 integer engine visually (the reference's
-    # slim_yolo_v2_q_bf test branch, test.py:165-172)
+    # slim_yolo_v2_q_bf test branch, test.py:165-172) — dispatched on
+    # -v so every family's integer engine works here, not just slim.
     detect_one = None
     if args.quantize:
-        from yolo_tpu.quant.int8_graph import (
-            make_int8_detect_fn, quantize_pipeline)
+        from yolo_tpu.quant.dispatch import build_int8_detector
         calib = [np.stack([dataset.pull_item(i)[0] for i in
                            range(min(16, len(dataset)))])]
-        m = quantize_pipeline(params, cfg, calib,
-                              fold_bn=not args.version.endswith("_q_bf"))
-        int8_detect = make_int8_detect_fn(m, cfg)
+        _, int8_detect = build_int8_detector(args.version, params, cfg,
+                                             calib)
 
         def detect_one(im):
             boxes, scores, classes, valid = (

@@ -152,6 +152,12 @@ class VOCEvaluator:
                     rows = t[t[:, 4] == cls]
                     if len(rows):
                         gts[cls][i] = rows[:, :4] * [w, h, w, h]
+            # Pad the final partial batch to batch_size so the jitted
+            # detect fn sees ONE static shape (a ragged tail would force
+            # an extra XLA compile per dataset size); padded rows are
+            # simply never read back.
+            while len(batch_imgs) < self.batch_size:
+                batch_imgs.append(np.zeros_like(batch_imgs[0]))
             boxes, scores, classes, valid = (
                 np.asarray(a) for a in detect_batch(np.stack(batch_imgs)))
             for bi, i in enumerate(idx):
@@ -184,6 +190,18 @@ class VOCEvaluator:
             self._persist(dets, pr_curves)
         return self.map
 
+    def _image_id(self, i: int) -> str:
+        """Real dataset image id for det-file artifacts (the reference
+        writes actual VOC ids, vocapi_evaluator_mask.py:147 — index-only
+        files are not consumable by the VOC devkit)."""
+        ids = getattr(self.dataset, "ids", None)
+        if ids is not None and i < len(ids):
+            id_ = ids[i]
+            if isinstance(id_, (tuple, list)):
+                id_ = id_[-1]
+            return str(id_)
+        return f"{i:06d}"
+
     def _persist(self, dets, pr_curves):
         """Write the reference evaluator's artifacts
         (vocapi_evaluator_mask.py:59,89-90,140-155): VOC-format per-class
@@ -197,9 +215,10 @@ class VOCEvaluator:
             path = os.path.join(self.output_dir, f"det_test_{name}.txt")
             with open(path, "w") as f:
                 for i, rows in enumerate(dets[cls]):
+                    img_id = self._image_id(i)
                     for x1, y1, x2, y2, score in np.asarray(rows):
                         # VOC det format: id score x1 y1 x2 y2 (1-based)
-                        f.write(f"{i:06d} {score:.6f} {x1 + 1:.1f} "
+                        f.write(f"{img_id} {score:.6f} {x1 + 1:.1f} "
                                 f"{y1 + 1:.1f} {x2 + 1:.1f} {y2 + 1:.1f}\n")
         with open(os.path.join(self.output_dir, "detections.pkl"),
                   "wb") as f:

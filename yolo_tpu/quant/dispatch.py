@@ -1,0 +1,81 @@
+"""Per-family INT8 pipeline dispatch.
+
+The reference hard-wires its quantization scripts to SlimYOLOv2
+(retune_bias_quantize.py only imports that model class); here every model
+family has its own true-integer engine, and this module is the single
+place that maps a ``-v`` version string onto the matching
+(quantize pipeline, detect-fn maker) pair so the CLIs (eval/test/serve)
+and benches never need per-model branching.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional, Tuple
+
+from yolo_tpu.config import DetectorConfig
+
+#: version -> family key
+_FAMILY = {
+    "slim_yolo_v2": "slim",
+    "slim_yolo_v2_q_bf": "slim",
+    "tiny_yolo_v3": "tiny",
+    "yolo_v2": "v2",
+    "yolo_v3": "v3",
+    "yolo_v3_spp": "v3_spp",
+}
+
+INT8_VERSIONS = tuple(_FAMILY)
+
+
+def build_int8_detector(version: str, params_fp32, cfg: DetectorConfig,
+                        calib_batches: Iterable, *,
+                        head_clip: Optional[float] = None,
+                        max_images: int = 1000,
+                        rounding: str = "nearest",
+                        **maker_kwargs) -> Tuple[object, Callable]:
+    """Quantize ``params_fp32`` with the family's PTQ pipeline and return
+    ``(int8_model, detect_fn)``; ``detect_fn(images_f32) -> (boxes,
+    scores, classes, valid)`` is jitted end-to-end.
+
+    ``maker_kwargs`` (e.g. ``mesh=``, ``backend=``) pass through to the
+    family's detect-fn maker when it supports them.
+    """
+    try:
+        family = _FAMILY[version]
+    except KeyError:
+        raise ValueError(
+            f"no INT8 engine for version {version!r}; "
+            f"choose from {sorted(_FAMILY)}") from None
+
+    calib_batches = list(calib_batches)
+    if family == "slim":
+        from yolo_tpu.quant.int8_graph import (
+            make_int8_detect_fn, quantize_pipeline)
+        m = quantize_pipeline(
+            params_fp32, cfg, calib_batches,
+            fold_bn=not version.endswith("_q_bf"),
+            max_images=max_images, head_clip=head_clip)
+        return m, make_int8_detect_fn(m, cfg, rounding=rounding,
+                                      **maker_kwargs)
+    if family == "tiny":
+        from yolo_tpu.quant.int8_models import (
+            make_int8_tiny_detect_fn, quantize_pipeline_tiny)
+        m = quantize_pipeline_tiny(params_fp32, cfg, calib_batches,
+                                   max_images=max_images,
+                                   head_clip=head_clip)
+        return m, make_int8_tiny_detect_fn(m, cfg, rounding=rounding)
+    if family == "v2":
+        from yolo_tpu.quant.int8_models import (
+            make_int8_yolo_v2_detect_fn, quantize_pipeline_yolo_v2)
+        m = quantize_pipeline_yolo_v2(params_fp32, cfg, calib_batches,
+                                      max_images=max_images,
+                                      head_clip=head_clip)
+        return m, make_int8_yolo_v2_detect_fn(m, cfg, rounding=rounding)
+    # v3 / v3_spp
+    from yolo_tpu.quant.int8_yolo_v3 import (
+        make_int8_yolo_v3_detect_fn, quantize_pipeline_yolo_v3)
+    m = quantize_pipeline_yolo_v3(params_fp32, cfg, calib_batches,
+                                  spp=(family == "v3_spp"),
+                                  max_images=max_images,
+                                  head_clip=head_clip)
+    return m, make_int8_yolo_v3_detect_fn(m, cfg, rounding=rounding)

@@ -78,10 +78,36 @@ def make_optimizer(tc: TrainConfig):
     return opt
 
 
-def _cast_tree(tree, dtype):
-    return jax.tree_util.tree_map(
-        lambda p: p.astype(dtype)
-        if jnp.issubdtype(p.dtype, jnp.floating) else p, tree)
+def _cast_tree(tree, dtype, keep_bn_stats: bool = False):
+    """Cast floating leaves to ``dtype``. With ``keep_bn_stats`` the BN
+    running mean/var stay untouched — they are cross-step state whose EMA
+    must accumulate in fp32, not compute operands."""
+    def cast(path, p):
+        if not jnp.issubdtype(p.dtype, jnp.floating):
+            return p
+        if keep_bn_stats:
+            keys = [getattr(k, "key", None) for k in path]
+            if "bn" in keys and keys[-1] in ("mean", "var"):
+                return p
+        return p.astype(dtype)
+    return jax.tree_util.tree_map_with_path(cast, tree)
+
+
+def _graft_bn_stats(master, new):
+    """Merge ONLY the BN running-stat leaves (bn/mean, bn/var) from the
+    forward's returned tree into the fp32 master tree.
+
+    The bf16 forward returns a tree whose weight leaves are the bf16-cast
+    params; grafting (instead of casting the whole tree back) keeps the
+    master weights bit-identical, so sub-ulp optimizer updates accumulate
+    instead of being re-rounded through bf16 every step.
+    """
+    def pick(path, old, newleaf):
+        keys = [getattr(k, "key", None) for k in path]
+        if "bn" in keys and keys[-1] in ("mean", "var"):
+            return newleaf.astype(old.dtype)
+        return old
+    return jax.tree_util.tree_map_with_path(pick, master, new)
 
 
 def loss_fn(module, cfg: DetectorConfig, tc: TrainConfig, params, images,
@@ -93,11 +119,11 @@ def loss_fn(module, cfg: DetectorConfig, tc: TrainConfig, params, images,
         # bf16 compute against fp32 master params: grads of the cast are
         # the cast back, so value_and_grad still yields fp32 gradients
         cdt = jnp.dtype(tc.compute_dtype)
-        outs, new_params = fwd(_cast_tree(params, cdt),
+        outs, new_params = fwd(_cast_tree(params, cdt, keep_bn_stats=True),
                                images.astype(cdt))
         conf, cls, txt, boxes_norm = (o.astype(jnp.float32) for o in outs)
-        # BN running stats return to fp32 master precision
-        new_params = _cast_tree(new_params, jnp.float32)
+        # Only BN running stats flow back; weights stay the fp32 masters.
+        new_params = _graft_bn_stats(params, new_params)
     else:
         (conf, cls, txt, boxes_norm), new_params = fwd(params, images)
     conf_l, cls_l, box_l, total = yolo_loss(
