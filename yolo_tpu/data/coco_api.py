@@ -156,17 +156,26 @@ class COCOeval:
         self.stats = np.zeros(12)
         self._eval: Optional[dict] = None
 
-    # per-(img, cat): match dets to gts greedily by score at each IoU thr
-    def _evaluate_img(self, img_id: int, cat_id: int, max_det: int):
+    # per-(img, cat, area range): match dets to gts greedily by score at
+    # each IoU threshold. GTs outside the area range are "ignored":
+    # matching them neither scores nor costs, exactly the published COCO
+    # protocol (small/medium/large AP are computed by re-running the
+    # match with out-of-range GTs demoted to ignore).
+    def _evaluate_img(self, img_id: int, cat_id: int, area_rng,
+                      max_det: int):
         gts = [a for a in self.gt.img_to_anns.get(img_id, [])
                if a["category_id"] == cat_id]
         dts = [a for a in self.dt.img_to_anns.get(img_id, [])
                if a["category_id"] == cat_id]
         if not gts and not dts:
             return None
+        a0, a1 = area_rng
+        g_area = np.array([a.get("area", a["bbox"][2] * a["bbox"][3])
+                           for a in gts], float)
         # sort: non-ignored gts first; dets by descending score
-        g_ignore = np.array([bool(a.get("iscrowd", 0)) or
-                             bool(a.get("ignore", 0)) for a in gts])
+        g_ignore = np.array(
+            [bool(a.get("iscrowd", 0)) or bool(a.get("ignore", 0))
+             for a in gts]) | (g_area < a0) | (g_area > a1)
         g_order = np.argsort(g_ignore, kind="stable")
         gts = [gts[i] for i in g_order]
         g_ignore = g_ignore[g_order]
@@ -202,73 +211,130 @@ class COCOeval:
                 dt_match[t, d] = best + 1
                 dt_ignore[t, d] = g_ignore[best]
                 gt_match[t, best] = d + 1
+        # unmatched dets whose own area is outside the range are ignored
+        # too (they can't be fairly called false positives of this range)
+        d_area = d_box[:, 2] * d_box[:, 3]
+        d_out = (d_area < a0) | (d_area > a1)
+        dt_ignore = dt_ignore | ((dt_match == 0) & d_out[None, :])
         return {
             "scores": np.array([d.get("score", 0.0) for d in dts]),
             "dt_match": dt_match,
             "dt_ignore": dt_ignore,
             "gt_ignore": g_ignore,
-            "areas": np.array([g["bbox"][2] * g["bbox"][3] for g in gts]),
-            "d_areas": d_box[:, 2] * d_box[:, 3],
         }
+
+    AREA_KEYS = ("all", "small", "medium", "large")
 
     def evaluate(self):
         self._per_img = {}
+        max_det = max(self.params.maxDets)
         for cat in self.params.catIds:
-            for img in self.params.imgIds:
-                r = self._evaluate_img(int(img), int(cat),
-                                       max(self.params.maxDets))
-                if r is not None:
-                    self._per_img[(int(img), int(cat))] = r
+            for ai, ak in enumerate(self.AREA_KEYS):
+                rng = self.AREA_RNG[ak]
+                for img in self.params.imgIds:
+                    r = self._evaluate_img(int(img), int(cat), rng,
+                                           max_det)
+                    if r is not None:
+                        self._per_img[(int(img), int(cat), ai)] = r
 
     def accumulate(self):
+        """Build precision [T, R, K, A, M] and recall [T, K, A, M] over
+        IoU thresholds x recall grid x categories x area ranges x
+        maxDets (the full pycocotools accumulator shape; reference
+        utils/cocoapi_evaluator.py:111-126 consumes its summarize())."""
         T = len(self.IOU_THRS)
         R = len(self.REC_THRS)
-        cats = self.params.catIds
-        precision = -np.ones((T, R, len(cats)))
-        ap50_only = None
-        for ci, cat in enumerate(cats):
-            parts = [self._per_img[(int(i), int(cat))]
-                     for i in self.params.imgIds
-                     if (int(i), int(cat)) in self._per_img]
-            if not parts:
-                continue
-            scores = np.concatenate([p["scores"] for p in parts])
-            order = np.argsort(-scores, kind="mergesort")
-            matches = np.concatenate(
-                [p["dt_match"] for p in parts], axis=1)[:, order]
-            ignored = np.concatenate(
-                [p["dt_ignore"] for p in parts], axis=1)[:, order]
-            n_gt = int(sum((~p["gt_ignore"]).sum() for p in parts))
-            if n_gt == 0:
-                continue
-            tp = (matches > 0) & ~ignored
-            fp = (matches == 0) & ~ignored
-            tp_cum = np.cumsum(tp, axis=1).astype(float)
-            fp_cum = np.cumsum(fp, axis=1).astype(float)
-            for t in range(T):
-                rec = tp_cum[t] / n_gt
-                prec = tp_cum[t] / np.maximum(tp_cum[t] + fp_cum[t], 1e-10)
-                # monotone non-increasing precision envelope
-                for k in range(len(prec) - 1, 0, -1):
-                    prec[k - 1] = max(prec[k - 1], prec[k])
-                idx = np.searchsorted(rec, self.REC_THRS, side="left")
-                valid = idx < len(prec)
-                pr = np.zeros(R)
-                pr[valid] = prec[idx[valid]]
-                precision[t, :, ci] = pr
-        self._eval = {"precision": precision}
+        K, A, M = (len(self.params.catIds), len(self.AREA_KEYS),
+                   len(self.params.maxDets))
+        precision = -np.ones((T, R, K, A, M))
+        recall = -np.ones((T, K, A, M))
+        for ci in range(K):
+            cat = self.params.catIds[ci]
+            for ai in range(A):
+                parts = [self._per_img[(int(i), int(cat), ai)]
+                         for i in self.params.imgIds
+                         if (int(i), int(cat), ai) in self._per_img]
+                if not parts:
+                    continue
+                n_gt = int(sum((~p["gt_ignore"]).sum() for p in parts))
+                if n_gt == 0:
+                    continue
+                for mi, max_det in enumerate(self.params.maxDets):
+                    # truncate to max_det PER IMAGE, then sort globally
+                    scores = np.concatenate(
+                        [p["scores"][:max_det] for p in parts])
+                    if scores.size == 0:
+                        recall[:, ci, ai, mi] = 0.0
+                        precision[:, :, ci, ai, mi] = 0.0
+                        continue
+                    order = np.argsort(-scores, kind="mergesort")
+                    matches = np.concatenate(
+                        [p["dt_match"][:, :max_det] for p in parts],
+                        axis=1)[:, order]
+                    ignored = np.concatenate(
+                        [p["dt_ignore"][:, :max_det] for p in parts],
+                        axis=1)[:, order]
+                    tp = (matches > 0) & ~ignored
+                    fp = (matches == 0) & ~ignored
+                    tp_cum = np.cumsum(tp, axis=1).astype(float)
+                    fp_cum = np.cumsum(fp, axis=1).astype(float)
+                    for t in range(T):
+                        rec = tp_cum[t] / n_gt
+                        prec = tp_cum[t] / np.maximum(
+                            tp_cum[t] + fp_cum[t], 1e-10)
+                        recall[t, ci, ai, mi] = rec[-1] if rec.size else 0
+                        # monotone non-increasing precision envelope
+                        for k in range(len(prec) - 1, 0, -1):
+                            prec[k - 1] = max(prec[k - 1], prec[k])
+                        idx = np.searchsorted(rec, self.REC_THRS,
+                                              side="left")
+                        valid = idx < len(prec)
+                        pr = np.zeros(R)
+                        pr[valid] = prec[idx[valid]]
+                        precision[t, :, ci, ai, mi] = pr
+        self._eval = {"precision": precision, "recall": recall}
 
     def summarize(self):
+        """The 12-stat pycocotools summary vector:
+        [AP, AP50, AP75, APs, APm, APl, AR1, AR10, AR100, ARs, ARm, ARl]
+        (reference utils/cocoapi_evaluator.py:111-126 prints this)."""
         p = self._eval["precision"]
+        r = self._eval["recall"]
+        m100 = self.params.maxDets.index(100)
 
-        def mean_ap(t: Optional[int] = None):
-            sel = p if t is None else p[t:t + 1]
+        def _stat(ap: bool, iou_t: Optional[int] = None,
+                  area: str = "all", mi: int = None):
+            ai = self.AREA_KEYS.index(area)
+            if ap:
+                sel = p[:, :, :, ai, m100 if mi is None else mi]
+            else:
+                sel = r[:, :, ai, m100 if mi is None else mi]
+            if iou_t is not None:
+                sel = sel[iou_t:iou_t + 1]
             vals = sel[sel > -1]
             return float(vals.mean()) if vals.size else -1.0
 
-        self.stats = np.zeros(12)
-        self.stats[0] = mean_ap()        # AP @[.50:.95]
-        self.stats[1] = mean_ap(0)       # AP @0.50
-        self.stats[2] = mean_ap(5)       # AP @0.75 (pycocotools slot)
-        print(f"COCO bbox AP@[.50:.95] = {self.stats[0]:.4f}  "
-              f"AP@0.50 = {self.stats[1]:.4f}")
+        self.stats = np.array([
+            _stat(True),                      # 0 AP @[.50:.95]
+            _stat(True, iou_t=0),             # 1 AP @0.50
+            _stat(True, iou_t=5),             # 2 AP @0.75
+            _stat(True, area="small"),        # 3 AP small
+            _stat(True, area="medium"),       # 4 AP medium
+            _stat(True, area="large"),        # 5 AP large
+            _stat(False, mi=self.params.maxDets.index(1)),   # 6 AR @1
+            _stat(False, mi=self.params.maxDets.index(10)),  # 7 AR @10
+            _stat(False),                     # 8 AR @100
+            _stat(False, area="small"),       # 9 AR small
+            _stat(False, area="medium"),      # 10 AR medium
+            _stat(False, area="large"),       # 11 AR large
+        ])
+        names = [
+            "AP @[.50:.95 | all | 100]", "AP @[0.50     | all | 100]",
+            "AP @[0.75     | all | 100]", "AP @[.50:.95 | small | 100]",
+            "AP @[.50:.95 | medium| 100]", "AP @[.50:.95 | large | 100]",
+            "AR @[.50:.95 | all |   1]", "AR @[.50:.95 | all |  10]",
+            "AR @[.50:.95 | all | 100]", "AR @[.50:.95 | small | 100]",
+            "AR @[.50:.95 | medium| 100]", "AR @[.50:.95 | large | 100]",
+        ]
+        for n, v in zip(names, self.stats):
+            print(f" {n} = {v:.4f}")

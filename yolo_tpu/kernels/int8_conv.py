@@ -50,6 +50,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -315,6 +316,7 @@ def int8_conv3x3_pool_requant(x_q: jnp.ndarray, w_q: jnp.ndarray,
                               leaky: bool = True,
                               rounding: str = "nearest",
                               m_tile: int = 2048,
+                              assembly: str = "stride2",
                               interpret: bool = False) -> jnp.ndarray:
     """Fused int8 conv3x3(s1,p1) + 2x2/2 maxpool + requant, computed AT
     POOLED RESOLUTION: int8 [B,H,W,C_in] -> int8 [B,H/2,W/2,C_out].
@@ -339,14 +341,6 @@ def int8_conv3x3_pool_requant(x_q: jnp.ndarray, w_q: jnp.ndarray,
         raise ValueError("pooled conv requires even H, W")
     ho, wo = h // 2, w // 2
 
-    # col tensor: 4x4 windows at stride 2 (window base row 2u-1)
-    xp = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    cols = [jax.lax.slice(xp, (0, dy, dx, 0),
-                          (b, dy + 2 * ho - 1, dx + 2 * wo - 1, c_in),
-                          (1, 2, 2, 1))
-            for dy in range(4) for dx in range(4)]
-    col = jnp.concatenate(cols, axis=-1).reshape(b * ho * wo, 16 * c_in)
-
     # phase-packed weights [16*C_in, 4*C_out]: phase p=(pr,pc) sees
     # w[dy-pr, dx-pc] inside the 4x4 window, zero elsewhere
     phases = []
@@ -356,6 +350,46 @@ def int8_conv3x3_pool_requant(x_q: jnp.ndarray, w_q: jnp.ndarray,
                                 (0, 0), (0, 0)))
             phases.append(wp_.reshape(16 * c_in, c_out))
     w4 = jnp.concatenate(phases, axis=1)
+
+    if assembly == "stride2":
+        # col tensor: 4x4 windows at stride 2 (window base row 2u-1)
+        xp = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        cols = [jax.lax.slice(xp, (0, dy, dx, 0),
+                              (b, dy + 2 * ho - 1, dx + 2 * wo - 1, c_in),
+                              (1, 2, 2, 1))
+                for dy in range(4) for dx in range(4)]
+        col = jnp.concatenate(cols, axis=-1).reshape(
+            b * ho * wo, 16 * c_in)
+    elif assembly == "s2d":
+        # Space-to-depth assembly: ONE reshape/transpose turns the
+        # stride-2 structure into channels, then the 4x4 window is four
+        # CONTIGUOUS 2x2-block slices (no strided slicing at all).
+        # Pad 3 so the window base row 2u-1 lands on an even (block)
+        # boundary: padded pixel p' = p+3, window rows 2u-1..2u+2 ->
+        # p' = 2u+2..2u+5 = blocks (u+1, u+2) exactly.
+        xp = jnp.pad(x_q, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        hb, wb = (h + 6) // 2, (w + 6) // 2
+        x2 = xp.reshape(b, hb, 2, wb, 2, c_in).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, hb, wb, 4 * c_in)
+        cols = [x2[:, 1 + r:1 + r + ho, 1 + s:1 + s + wo, :]
+                for r in range(2) for s in range(2)]
+        col = jnp.concatenate(cols, axis=-1).reshape(
+            b * ho * wo, 16 * c_in)
+        # the s2d col orders the window as (block r, block s, py, px, c)
+        # with pixel (dy, dx) = (2r+py, 2s+px); permute the weight rows
+        # from the (dy, dx, c) layout to match
+        perm = np.empty(16 * c_in, np.int32)
+        for r_ in range(2):
+            for s_ in range(2):
+                for py in range(2):
+                    for px in range(2):
+                        dy, dx = 2 * r_ + py, 2 * s_ + px
+                        src = (dy * 4 + dx) * c_in
+                        dst = (((r_ * 2 + s_) * 2 + py) * 2 + px) * c_in
+                        perm[dst:dst + c_in] = np.arange(src, src + c_in)
+        w4 = w4[perm]
+    else:
+        raise ValueError(f"unknown assembly {assembly!r}")
 
     bofs = sb - retune
     b32 = b_q.astype(jnp.int32)

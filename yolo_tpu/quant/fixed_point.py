@@ -115,13 +115,136 @@ def quantize_input(x: jnp.ndarray, sa_in: int) -> jnp.ndarray:
                     ).astype(jnp.int8)
 
 
+def _s2d_phase_weights(w_q: np.ndarray, c_in: int, c_out: int) -> np.ndarray:
+    """[3,3,C_in,C_out] conv weights -> [2,2,4*C_in,4*C_out] block-conv
+    weights over the space-to-depth input, one output group per pool
+    phase (trace-time constant; zeros where the 3x3 support doesn't
+    reach)."""
+    w4 = np.zeros((2, 2, 4 * c_in, 4 * c_out), w_q.dtype)
+    for a in range(2):          # pool phase row (y row = 2u+a)
+        for bph in range(2):    # pool phase col
+            for j in range(3):  # 3x3 tap
+                for k in range(3):
+                    m_, n_ = a + j, bph + k   # position in the 4x4 window
+                    r_, py = divmod(m_, 2)    # block offset / pixel-in-block
+                    s_, px = divmod(n_, 2)
+                    ci = (py * 2 + px) * c_in
+                    co = (a * 2 + bph) * c_out
+                    w4[r_, s_, ci:ci + c_in, co:co + c_out] = w_q[j, k]
+    return w4
+
+
+def int8_conv_pool_s2d(x_q: jnp.ndarray, w_q, b_q, *, sw: int, sb: int,
+                       sa_in: int, sa_out: int, retune: int,
+                       leaky: bool = True,
+                       rounding: str = "nearest") -> jnp.ndarray:
+    """Fused int8 conv3x3(s1,p1) + requant + 2x2/2 maxpool via
+    space-to-depth, computed AT POOLED RESOLUTION on the MXU.
+
+    XLA executes small-C_in int8 convs on the VPU (docs/PERFORMANCE.md
+    finding #1) — conv1's C_in=3 contraction can't tile onto the MXU.
+    Space-to-depth (factor 2) turns the stride-2 pool structure into
+    channels: the four conv outputs inside one pool window all read the
+    same 4x4 input patch = a 2x2 window of s2d blocks, so conv+pool
+    becomes ONE 2x2 conv over [B,H/2+3,W/2+3,4*C_in] with 4*C_out
+    phase-packed outputs (contraction 16*C_in instead of C_in) followed
+    by a channel-group max. Bit-exact with conv+requant+pool: the
+    requant chain is monotone, so the phase max commutes with it.
+
+    This is the TPU shape of the reference accelerator's fused
+    conv+pool pass (c_embedding/yolo_forward.c:269-418, 'pool' bit).
+    """
+    b, h, w, c_in = x_q.shape
+    if h % 2 or w % 2:
+        raise ValueError("pooled conv requires even H, W")
+    x2 = s2d_input(x_q)
+    return int8_conv_pool_s2d_core(
+        x2, w_q, b_q, c_in=c_in, sw=sw, sb=sb, sa_in=sa_in,
+        sa_out=sa_out, retune=retune, leaky=leaky, rounding=rounding)
+
+
+def s2d_input(x_q: jnp.ndarray) -> jnp.ndarray:
+    """[B,H,W,C] int8 -> padded space-to-depth [B,H/2+3,W/2+3,4*C].
+
+    Pad 3 so the pool-window base row 2u-1 lands on an even (block)
+    offset; channel order inside a block is (py, px, c). The native
+    preprocessor can emit this layout directly (layout='s2d'), making
+    the transform free on device.
+    """
+    b, h, w, c_in = x_q.shape
+    xp = jnp.pad(x_q, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    hb, wb = (h + 6) // 2, (w + 6) // 2
+    return xp.reshape(b, hb, 2, wb, 2, c_in).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, hb, wb, 4 * c_in)
+
+
+def s2d_input_np(x_q: np.ndarray) -> np.ndarray:
+    """Numpy twin of s2d_input (host-side layout for serving input)."""
+    b, h, w, c_in = x_q.shape
+    xp = np.pad(x_q, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    hb, wb = (h + 6) // 2, (w + 6) // 2
+    return np.ascontiguousarray(
+        xp.reshape(b, hb, 2, wb, 2, c_in).transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, hb, wb, 4 * c_in))
+
+
+def int8_conv_pool_s2d_core(x2: jnp.ndarray, w_q, b_q, *, c_in: int,
+                            sw: int, sb: int, sa_in: int, sa_out: int,
+                            retune: int, leaky: bool = True,
+                            rounding: str = "nearest") -> jnp.ndarray:
+    """conv+requant+pool on an already space-to-depth input
+    [B,H/2+3,W/2+3,4*C_in] (see int8_conv_pool_s2d)."""
+    b, hb, wb, _ = x2.shape
+    ho, wo = hb - 3, wb - 3
+    c_out = w_q.shape[-1]
+
+    w4 = jnp.asarray(_s2d_phase_weights(np.asarray(w_q), c_in, c_out))
+    acc = jax.lax.conv_general_dilated(
+        x2, w4, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)  # [B, hb-1, wb-1, 4*C_out]
+
+    b4 = jnp.tile(b_q.astype(jnp.int32), 4)
+    acc = _shift(acc, sw + sa_in - retune, rounding, jnp)
+    acc = acc + _shift(b4, sb - retune, rounding, jnp)
+    acc = jnp.clip(acc, INT16_MIN, INT16_MAX)
+    if leaky:
+        acc = _leaky_int(acc, rounding, jnp)
+    o8 = jnp.clip(_shift(acc, retune - sa_out, rounding, jnp),
+                  INT8_MIN, INT8_MAX).astype(jnp.int8)
+    # pooled (u,v) lives at conv output (u+1, v+1); max the 4 phase groups
+    o8 = o8[:, 1:1 + ho, 1:1 + wo, :]
+    z = o8[..., :c_out]
+    for p in range(1, 4):
+        z = jnp.maximum(z, o8[..., p * c_out:(p + 1) * c_out])
+    return z
+
+
 def int8_forward(m: Int8Model, x_q: jnp.ndarray,
-                 rounding: str = "nearest") -> jnp.ndarray:
+                 rounding: str = "nearest",
+                 s2d_layers: tuple = (),
+                 layer_impls=None,
+                 input_s2d: bool = False) -> jnp.ndarray:
     """int8 input [B, H, W, 3] -> float head output [B, H/16, W/16, C].
 
     All conv arithmetic is int8 x int8 -> int32 on the MXU
     (preferred_element_type=int32); everything else is integer VPU work
     that XLA fuses between the convs.
+
+    ``s2d_layers``: names of pool layers to run through the fused
+    space-to-depth conv+pool path (int8_conv_pool_s2d) — bit-exact,
+    moves small-C_in layers from the VPU onto the MXU.
+
+    ``layer_impls``: optional {name: fn} overriding a pool layer's whole
+    conv+requant+pool with a custom bit-exact implementation (same
+    keyword signature as int8_conv_pool_s2d) — the hook the Pallas
+    pooled-window kernel plugs into for A/B benchmarking.
+
+    ``input_s2d``: ``x_q`` is already the padded space-to-depth layout
+    [B,H/2+3,W/2+3,12] (from s2d_input / the native preprocessor's
+    layout='s2d'): conv1 runs the fused MXU conv+pool directly and the
+    on-device transform cost disappears — the fastest serving input
+    path.
     """
     out = x_q
     names = list(TRACKER_NAMES)  # in, conv1..conv7(pred names), pred
@@ -130,6 +253,21 @@ def int8_forward(m: Int8Model, x_q: jnp.ndarray,
         sa_in = m.sa[names[i]]
         sa_out = m.sa[names[i + 1]]
         r = m.retune[name]
+        if input_s2d and i == 0:
+            out = int8_conv_pool_s2d_core(
+                out, m.w_q[name], m.b_q[name], c_in=3, sw=m.sw[name],
+                sb=m.sb[name], sa_in=sa_in, sa_out=sa_out, retune=r,
+                leaky=True, rounding=rounding)
+            continue
+        impl = (layer_impls or {}).get(name)
+        if impl is None and name in s2d_layers and pools.get(name):
+            impl = int8_conv_pool_s2d
+        if impl is not None and pools.get(name):
+            out = impl(
+                out, m.w_q[name], m.b_q[name], sw=m.sw[name],
+                sb=m.sb[name], sa_in=sa_in, sa_out=sa_out, retune=r,
+                leaky=True, rounding=rounding)
+            continue
         acc = jax.lax.conv_general_dilated(
             out.astype(jnp.int8), m.w_q[name],
             window_strides=(1, 1), padding=((1, 1), (1, 1)),

@@ -25,11 +25,29 @@ from yolo_tpu.quant import qsim
 
 
 def int8_predict(m: fp.Int8Model, images, cfg: DetectorConfig,
-                 rounding: str = "nearest", backend: str = "xla"):
-    """float images -> (boxes_norm [B, N, 4], class_probs [B, N, C])."""
-    x_q = fp.quantize_input(images, m.sa["in"])
-    fwd = fp.int8_forward_pallas if backend == "pallas" else fp.int8_forward
-    head = fwd(m, x_q, rounding)  # [B, H/16, W/16, abC] float
+                 rounding: str = "nearest", backend: str = "xla",
+                 s2d_layers: tuple = (), input_s2d: bool = False):
+    """images -> (boxes_norm [B, N, 4], class_probs [B, N, C]).
+
+    ``images`` is either float32 (quantized in-graph) or already int8 at
+    scale 2^sa_in — the host-side-quantize pattern of the reference's
+    embedded engine (c_embedding/yolo_forward.c:57-85 quantizes on the
+    ARM before the accelerator sees data); feeding int8 moves 4x fewer
+    bytes over PCIe/DMA. With ``input_s2d`` the int8 input is already
+    the padded space-to-depth layout (fp.s2d_input) and conv1 runs the
+    fused MXU conv+pool with zero on-device transform cost.
+    """
+    if images.dtype == jnp.int8:
+        x_q = images
+    else:
+        x_q = fp.quantize_input(images, m.sa["in"])
+        if input_s2d:
+            x_q = fp.s2d_input(x_q)
+    if backend == "pallas":
+        head = fp.int8_forward_pallas(m, x_q, rounding)
+    else:
+        head = fp.int8_forward(m, x_q, rounding, s2d_layers=s2d_layers,
+                               input_s2d=input_s2d)
     flat = blocks.flatten_grid(head)
     conf, cls, txt = decode.split_predictions(
         flat, cfg.anchors_per_scale, cfg.num_classes)
@@ -42,16 +60,26 @@ def int8_predict(m: fp.Int8Model, images, cfg: DetectorConfig,
 
 def make_int8_detect_fn(m: fp.Int8Model, cfg: DetectorConfig,
                         rounding: str = "nearest", backend: str = "xla",
-                        mesh=None):
+                        mesh=None, s2d_layers: tuple = (),
+                        input_s2d: bool = False):
     """Jitted end-to-end int8 detector:
-    images [B, H, W, 3] float -> (boxes, scores, classes, valid).
+    images [B, H, W, 3] float OR int8 -> (boxes, scores, classes, valid).
+
+    int8 input must already be quantized at scale 2^m.sa['in'] (the
+    native preprocessor's int8_scale output) — host->device traffic
+    drops 4x and the in-graph quantize disappears. With ``input_s2d``
+    int8 input must additionally be in the padded space-to-depth layout
+    (fp.s2d_input_np / native layout='s2d'), the fastest serving path:
+    conv1 executes as a fused MXU conv+pool (float input still works —
+    the transform then runs on device).
 
     With ``mesh``, the batch shards over the 'data' axis (multi-chip
     serving): weights replicate, each chip runs its slice of the batch
     through conv+decode+NMS, outputs stay batch-sharded."""
 
     def body(images):
-        boxes, probs = int8_predict(m, images, cfg, rounding, backend)
+        boxes, probs = int8_predict(m, images, cfg, rounding, backend,
+                                    s2d_layers, input_s2d)
         return nms.batched_postprocess(
             boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
             cfg.pre_nms_top_k, cfg.top_k)
@@ -94,10 +122,13 @@ def build_int8_detect(cfg: DetectorConfig,
                       params_fp32=None,
                       calib_batches: Optional[Iterable] = None,
                       rounding: str = "nearest",
-                      backend: str = "xla") -> Tuple:
+                      backend: str = "xla",
+                      **detect_kwargs) -> Tuple:
     """Convenience/bench entry: returns (jitted fn(params_ignored, images),
     Int8Model). Without trained params, random weights + synthetic
-    calibration produce a structurally-real int8 graph (for perf work)."""
+    calibration produce a structurally-real int8 graph (for perf work).
+    ``detect_kwargs`` (input_s2d=, s2d_layers=, mesh=) pass through to
+    make_int8_detect_fn."""
     if params_fp32 is None:
         from yolo_tpu.models import slim_yolo_v2
         params_fp32 = slim_yolo_v2.init_params(
@@ -108,7 +139,8 @@ def build_int8_detect(cfg: DetectorConfig,
         calib_batches = [
             rng.random((8, h, w, 3), dtype=np.float32) for _ in range(4)]
     m = quantize_pipeline(params_fp32, cfg, calib_batches)
-    detect = make_int8_detect_fn(m, cfg, rounding, backend)
+    detect = make_int8_detect_fn(m, cfg, rounding, backend,
+                                 **detect_kwargs)
 
     def fn(_params, images):
         return detect(images)

@@ -34,11 +34,26 @@ class StreamingDetector:
 
     def __init__(self, cfg: DetectorConfig, detect_fn: Callable,
                  batch_size: int = 64, use_native: bool = True,
-                 letterbox: bool = False):
+                 letterbox: bool = False, sa_in: Optional[int] = None,
+                 s2d: bool = False):
         self.cfg = cfg
         self.detect_fn = detect_fn
         self.batch_size = batch_size
         self.letterbox = letterbox
+        # sa_in: the int8 activation scale exponent of the detect graph's
+        # input (Int8Model.sa['in']). When set, preprocessing emits int8
+        # directly — the host-side-quantize pattern of the reference's
+        # embedded engine (c_embedding/yolo_forward.c:57-85) — so
+        # host->device moves 4x fewer bytes and the in-graph quantize op
+        # disappears. detect_fn must accept int8 input
+        # (make_int8_detect_fn handles both dtypes).
+        self.sa_in = sa_in
+        # s2d: additionally emit the padded space-to-depth layout (the
+        # detect graph must be built with input_s2d=True) — conv1+pool
+        # fuse onto the MXU with zero on-device transform cost.
+        if s2d and sa_in is None:
+            raise ValueError("s2d layout requires sa_in")
+        self.s2d = s2d
         self._lb_meta = None
         self._native = None
         if use_native:
@@ -52,7 +67,8 @@ class StreamingDetector:
     # -- preprocessing ------------------------------------------------------
 
     def preprocess(self, frames: Sequence[np.ndarray]) -> np.ndarray:
-        """u8 BGR frames (any sizes) -> normalized float32 batch."""
+        """u8 BGR frames (any sizes) -> normalized float32 batch, or an
+        int8 batch at scale 2^sa_in when the detector takes int8."""
         from yolo_tpu.data.transforms import BaseTransform, letterbox
 
         if self.letterbox:
@@ -66,10 +82,20 @@ class StreamingDetector:
             # letterboxed canvases all share the input size; the native
             # path then only normalizes/flips
         if self._native is not None:
-            return self._native.preprocess_batch(list(frames),
-                                                 self.cfg.input_size)
+            return self._native.preprocess_batch(
+                list(frames), self.cfg.input_size,
+                int8_scale=(2.0 ** self.sa_in
+                            if self.sa_in is not None else None),
+                layout="s2d" if self.s2d else "nhwc")
         t = BaseTransform(self.cfg.input_size)
-        return np.stack([t(f)[0] for f in frames])
+        batch = np.stack([t(f)[0] for f in frames])
+        if self.sa_in is not None:
+            batch = np.clip(np.rint(batch * (2.0 ** self.sa_in)),
+                            -128, 127).astype(np.int8)
+            if self.s2d:
+                from yolo_tpu.quant.fixed_point import s2d_input_np
+                batch = s2d_input_np(batch)
+        return batch
 
     # -- detection ----------------------------------------------------------
 
@@ -86,8 +112,40 @@ class StreamingDetector:
             pad = np.zeros((self.batch_size - n,) + batch.shape[1:],
                            batch.dtype)
             batch = np.concatenate([batch, pad])
-        boxes, scores, classes, valid = (
-            np.asarray(a) for a in self.detect_fn(batch))
+        return self._postprocess(frames, self.detect_fn(batch))
+
+    # -- streaming with prefetch --------------------------------------------
+
+    def detect_stream(self, frame_batches):
+        """Iterate detection over a stream of frame lists with a real
+        prefetch thread: batch n+1 is preprocessed (and starts its
+        host->device transfer) while the device computes batch n — the
+        TPU role of the reference's ping-pong BRAMs
+        (c_embedding/yolo_forward.c:259-267). Yields detect_frames-style
+        results per input batch."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        it = iter(frame_batches)
+        with ThreadPoolExecutor(1) as ex:
+
+            def stage(frames):
+                return frames, self.preprocess(frames)
+
+            try:
+                fut = ex.submit(stage, next(it))
+            except StopIteration:
+                return
+            while fut is not None:
+                frames, batch = fut.result()
+                fut = None
+                try:
+                    fut = ex.submit(stage, next(it))
+                except StopIteration:
+                    pass
+                yield self._postprocess(frames, self.detect_fn(batch))
+
+    def _postprocess(self, frames, raw):
+        boxes, scores, classes, valid = (np.asarray(a) for a in raw)
         out = []
         for i, frame in enumerate(frames):
             h, w = frame.shape[:2]
@@ -106,16 +164,38 @@ class StreamingDetector:
 
     # -- throughput bench ----------------------------------------------------
 
-    def benchmark(self, frames: Sequence[np.ndarray], iters: int = 20):
-        """End-to-end host->device->host throughput (frames/sec)."""
+    def benchmark(self, frames: Sequence[np.ndarray], iters: int = 20,
+                  overlap: bool = True):
+        """End-to-end host->device->host throughput (frames/sec).
+
+        ``overlap=True`` uses the prefetch thread (preprocess n+1
+        concurrent with device compute + input transfer of n);
+        ``overlap=False`` is the sequential reference for measuring the
+        prefetch gain."""
         import jax
 
         batch = self.preprocess(frames[:self.batch_size])
         jax.device_get(self.detect_fn(batch))  # warmup/compile
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            batch = self.preprocess(frames[:self.batch_size])
-            out = self.detect_fn(batch)
-        jax.device_get(out)
-        dt = time.perf_counter() - t0
+
+        if overlap:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(1) as ex:
+                fut = ex.submit(self.preprocess,
+                                frames[:self.batch_size])
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    batch = fut.result()
+                    fut = ex.submit(self.preprocess,
+                                    frames[:self.batch_size])
+                    out = self.detect_fn(batch)
+                jax.device_get(out)
+                dt = time.perf_counter() - t0
+                fut.result()
+        else:
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                batch = self.preprocess(frames[:self.batch_size])
+                out = self.detect_fn(batch)
+            jax.device_get(out)
+            dt = time.perf_counter() - t0
         return self.batch_size * iters / dt
