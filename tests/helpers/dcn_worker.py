@@ -72,4 +72,23 @@ assert np.isfinite(total)
 if pid == 0:
     save_checkpoint(os.path.join(outdir, "dcn_params.msgpack"),
                     jax.device_get(params))
+
+# Multi-host evaluation (VERDICT r2 next #7): process 0 pulls host-local
+# replicated params and evaluates with a plain local jit — the same path
+# cli/train.py takes every eval_epoch under --dcn.
+eval_params = distributed.replicated_to_host(params)
+if pid == 0:
+    from yolo_tpu.data import BaseTransform, SyntheticDetection  # noqa: E402
+    from yolo_tpu.eval.voc_eval import VOCEvaluator  # noqa: E402
+
+    val = SyntheticDetection(size=cfg.input_size, num_classes=2,
+                             length=4, seed=3,
+                             transform=BaseTransform(cfg.input_size))
+    evaluator = VOCEvaluator(val, cfg.num_classes, cfg.input_size,
+                             batch_size=4)
+    mean_ap = evaluator.evaluate(
+        lambda imgs: det.detect(eval_params, imgs))
+    assert np.isfinite(mean_ap), mean_ap
+    with open(os.path.join(outdir, "dcn_map.txt"), "w") as f:
+        f.write(f"{mean_ap}\n")
 print(f"worker {pid}: OK loss={total:.5f}")

@@ -61,6 +61,12 @@ def test_two_process_dcn_matches_single_process(tmp_path):
     for _ in range(2):
         params, opt_state, _ = step(params, opt_state, images, gt, 1e-4)
 
+    # the DCN job evaluated (process-0 eval on host-local replicated
+    # params — VERDICT r2 next #7: multi-host jobs are not blind)
+    map_txt = tmp_path / "dcn_map.txt"
+    assert map_txt.exists(), "worker 0 produced no mAP"
+    assert np.isfinite(float(map_txt.read_text().strip()))
+
     got, _ = load_checkpoint(str(tmp_path / "dcn_params.msgpack"))
     want = jax.device_get(params)
     g = jax.tree_util.tree_leaves(got)

@@ -212,13 +212,21 @@ def train(args=None):
 
         print(f"epoch {epoch} took {time.time() - t_epoch:.1f}s")
 
-        if (epoch + 1) % args.eval_epoch == 0 and not multihost:
-            mean_ap = evaluator.evaluate(
-                lambda imgs: det.detect(params, imgs))
-            print(f"[Epoch {epoch}] mAP = {mean_ap:.4f}")
-            metrics_log.log((epoch + 1) * epoch_size, mAP=mean_ap)
-            if mean_ap > best_map:
-                best_map = mean_ap
+        if (epoch + 1) % args.eval_epoch == 0:
+            # Multi-host: params are replicated on the global mesh, so
+            # process 0 pulls a host-local copy (no collective) and
+            # evaluates with a plain local jit while the other hosts
+            # keep dispatching — a DCN job is no longer blind
+            # (reference train.py:343-354 evaluates periodically).
+            eval_params = (distributed.replicated_to_host(params)
+                           if multihost else params)
+            if jax.process_index() == 0:
+                mean_ap = evaluator.evaluate(
+                    lambda imgs: det.detect(eval_params, imgs))
+                print(f"[Epoch {epoch}] mAP = {mean_ap:.4f}")
+                metrics_log.log((epoch + 1) * epoch_size, mAP=mean_ap)
+                if mean_ap > best_map:
+                    best_map = mean_ap
         if ((epoch + 1) % 10 == 0 or epoch + 1 == args.max_epoch) and \
                 jax.process_index() == 0:
             from flax import serialization

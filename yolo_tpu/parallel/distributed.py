@@ -68,3 +68,17 @@ def host_local_to_global(mesh: Mesh, local_batch, spatial: bool = False):
     return jax.make_array_from_process_local_data(sharding, local_batch)
 
 
+def replicated_to_host(tree):
+    """Host-local numpy copy of a fully-replicated global pytree.
+
+    Under the global mesh, params/opt-state are replicated
+    (``shard_params`` uses an empty PartitionSpec), so every process's
+    addressable devices hold complete copies — pulling shard 0 is a
+    purely local read with no collective, which lets ONE process run a
+    host-side computation (e.g. evaluation) while the others proceed.
+    """
+    return jax.tree_util.tree_map(
+        lambda a: np.asarray(a.addressable_data(0))
+        if isinstance(a, jax.Array) else np.asarray(a), tree)
+
+
