@@ -80,3 +80,44 @@ def test_generic_quantize_detector_runs(rng, model):
     a = np.asarray(fouts[0]).ravel()
     b = np.asarray(qouts[0]).ravel()
     assert np.corrcoef(a, b)[0, 1] > 0.99
+
+
+def test_autoclip_selects_reasonable_cap(rng):
+    """head_clip='auto' sweeps caps, scores detection agreement against
+    the FP32 model, and returns a member of the candidate set whose
+    score is maximal (quant/autoclip.py)."""
+    import jax
+
+    from yolo_tpu.config import get_config
+    from yolo_tpu.models import slim_yolo_v2
+    from yolo_tpu.quant.autoclip import DEFAULT_CAPS, select_head_clip
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    params = slim_yolo_v2.init_params(jax.random.PRNGKey(0), cfg,
+                                      batch_norm=True)
+    calib = [rng.random((2, 32, 32, 3), dtype=np.float32)]
+    cap, scores = select_head_clip("slim_yolo_v2", params, cfg, calib)
+    assert cap in DEFAULT_CAPS
+    assert set(scores) == set(DEFAULT_CAPS)
+    assert all(0.0 <= s <= 1.0 for s in scores.values())
+    assert scores[cap] == max(scores.values())
+
+
+def test_autoclip_agreement_metric():
+    """Perfect agreement scores 1; a class-mismatched detection scores
+    its IoU term as 0."""
+    import numpy as np
+
+    from yolo_tpu.quant.autoclip import detection_agreement
+
+    boxes = np.array([[[0.1, 0.1, 0.5, 0.5]]], np.float32)
+    scores = np.array([[0.9]], np.float32)
+    classes = np.array([[1]], np.int32)
+    valid = np.array([[True]])
+    perfect = detection_agreement((boxes, scores, classes, valid),
+                                  (boxes, scores, classes, valid))
+    assert perfect == 1.0
+    wrong_cls = detection_agreement(
+        (boxes, scores, classes, valid),
+        (boxes, scores, classes + 1, valid))
+    assert wrong_cls == 0.0

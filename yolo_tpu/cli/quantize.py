@@ -34,9 +34,10 @@ def parse_args(argv=None):
     parser.add_argument("--header", default="weight.h",
                         help="C header path for export")
     parser.add_argument("--calib_images", type=int, default=1000)
-    parser.add_argument("--head_clip", type=float, default=None,
-                        help="cap the prediction-head activation range "
-                             "(see docs/PARITY.md)")
+    parser.add_argument("--head_clip", default="auto",
+                        help="prediction-head range cap: a float, "
+                             "'none', or 'auto' (sweep caps and pick by "
+                             "detection agreement; quant/autoclip.py)")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--lr", type=float, default=1e-7)
     parser.add_argument("--steps", type=int, default=100)
@@ -128,9 +129,20 @@ def main(args=None):
     from yolo_tpu.quant.retune import export_c_header, export_tables
 
     batches = _calib_batches(args, cfg)
+    head_clip = args.head_clip
+    if isinstance(head_clip, str):
+        if head_clip == "none":
+            head_clip = None
+        elif head_clip == "auto":
+            from yolo_tpu.quant.autoclip import select_head_clip
+            head_clip, scores = select_head_clip(
+                args.version, params, cfg, batches, verbose=True)
+            print(f"head_clip auto -> {head_clip}")
+        else:
+            head_clip = float(head_clip)
     m = quantize_pipeline(params, cfg, batches, fold_bn=False,
                           max_images=args.calib_images,
-                          head_clip=args.head_clip)
+                          head_clip=head_clip)
     tables = export_tables(m)
     print("scale_w:", tables["scale_w"])
     print("scale_b:", tables["scale_b"])

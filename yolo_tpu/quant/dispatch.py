@@ -29,13 +29,18 @@ INT8_VERSIONS = tuple(_FAMILY)
 
 def build_int8_detector(version: str, params_fp32, cfg: DetectorConfig,
                         calib_batches: Iterable, *,
-                        head_clip: Optional[float] = None,
+                        head_clip=None,
                         max_images: int = 1000,
                         rounding: str = "nearest",
                         **maker_kwargs) -> Tuple[object, Callable]:
     """Quantize ``params_fp32`` with the family's PTQ pipeline and return
     ``(int8_model, detect_fn)``; ``detect_fn(images_f32) -> (boxes,
     scores, classes, valid)`` is jitted end-to-end.
+
+    ``head_clip``: a float cap, None, or "auto" (sweep candidate caps
+    and pick by detection agreement with the FP32 model — see
+    quant.autoclip; the reference's findbest search spirit,
+    retune_bias_quantize_findbest.py:115-148).
 
     ``maker_kwargs`` (e.g. ``mesh=``, ``backend=``) pass through to the
     family's detect-fn maker when it supports them.
@@ -48,6 +53,10 @@ def build_int8_detector(version: str, params_fp32, cfg: DetectorConfig,
             f"choose from {sorted(_FAMILY)}") from None
 
     calib_batches = list(calib_batches)
+    if head_clip == "auto":
+        from yolo_tpu.quant.autoclip import select_head_clip
+        head_clip, _ = select_head_clip(version, params_fp32, cfg,
+                                        calib_batches)
     if family == "slim":
         from yolo_tpu.quant.int8_graph import (
             make_int8_detect_fn, quantize_pipeline)
