@@ -37,6 +37,24 @@ def test_program_tap_and_conv_counts():
     assert len([o for o in ops_spp if o[0] == "spp"]) == 1
 
 
+def test_s2d_forward_bit_exact_with_plain(rng):
+    """The s2d backbone path (fused entry pair + stride-2 block convs)
+    must be BIT-IDENTICAL with the plain integer walk on the full v3
+    program."""
+    from yolo_tpu.models import yolo_v3
+
+    cfg = get_config("yolo_v3", "voc", input_size=(64, 64))
+    params = yolo_v3.init_params(jax.random.PRNGKey(0), cfg,
+                                 batch_norm=True)
+    calib = [rng.random((2, 64, 64, 3), dtype=np.float32)]
+    m = quantize_pipeline_yolo_v3(params, cfg, calib)
+    x_q = fp.quantize_input(jnp.asarray(calib[0]), m.sa_in)
+    want = int8_yolo_v3_forward(m, x_q, s2d=False)
+    got = int8_yolo_v3_forward(m, x_q, s2d=True)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("spp", [
     False,
     pytest.param(True, marks=pytest.mark.skipif(

@@ -149,6 +149,45 @@ def test_int8_forward_s2d_layers_bit_exact(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("rounding", ["nearest", "floor"])
+def test_stride2_s2d_conv_bit_exact(rng, rounding):
+    """int8_conv_stride2_s2d == int_conv_requant(stride=2, padding=1)."""
+    B, H, W, CIN, COUT = 2, 12, 8, 5, 16
+    x = jnp.asarray(rng.integers(-128, 128, (B, H, W, CIN)), jnp.int8)
+    w = jnp.asarray(rng.integers(-30, 30, (3, 3, CIN, COUT)), jnp.int8)
+    bq = jnp.asarray(rng.integers(-100, 100, (COUT,)), jnp.int32)
+    kw = dict(sw=8, sb=7, sa_in=4, sa_out=4, retune=11)
+    want = np.asarray(fp.int_conv_requant(
+        x, w, bq, padding=1, stride=2, leaky=True, rounding=rounding,
+        **kw))
+    got = np.asarray(fp.int8_conv_stride2_s2d(
+        x, w, bq, leaky=True, rounding=rounding, **kw))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("rounding", ["nearest", "floor"])
+def test_entry_pair_s2d_bit_exact(rng, rounding):
+    """Fused s2d entry pair == sequential conv(s1)+conv(s2) integer
+    chain, bit-exact (the darknet53 backbone entry)."""
+    B, H, W = 2, 16, 12
+    C0, C1, C2 = 3, 8, 16
+    x = jnp.asarray(rng.integers(-128, 128, (B, H, W, C0)), jnp.int8)
+    w1 = jnp.asarray(rng.integers(-30, 30, (3, 3, C0, C1)), jnp.int8)
+    b1 = jnp.asarray(rng.integers(-100, 100, (C1,)), jnp.int32)
+    w2 = jnp.asarray(rng.integers(-20, 20, (3, 3, C1, C2)), jnp.int8)
+    b2 = jnp.asarray(rng.integers(-100, 100, (C2,)), jnp.int32)
+    p1 = dict(sw=8, sb=7, sa_in=4, sa_out=3, retune=11)
+    p2 = dict(sw=7, sb=6, sa_in=3, sa_out=4, retune=10)
+    y = fp.int_conv_requant(x, w1, b1, padding=1, stride=1, leaky=True,
+                            rounding=rounding, **p1)
+    want = np.asarray(fp.int_conv_requant(
+        y, w2, b2, padding=1, stride=2, leaky=True, rounding=rounding,
+        **p2))
+    got = np.asarray(fp.int8_entry_pair_s2d(x, w1, b1, p1, w2, b2, p2,
+                                            rounding=rounding))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_int8_forward_pallas_matches_xla(rng):
     """Full 10-layer pallas backbone == XLA int8 graph, bit-exact
     (interpret mode)."""

@@ -362,6 +362,140 @@ def int8_forward_pallas(m: Int8Model, x_q: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Space-to-depth forms of stride-2 convs (darknet53-style backbones).
+#
+# XLA executes small-C_in int8 convs on the VPU (docs/PERFORMANCE.md
+# finding #1). A 3x3 stride-2 conv reads a 3x3 window at even offsets —
+# in space-to-depth coordinates that is a 2x2 window of 2x2-pixel
+# blocks, so the conv becomes a 2x2 block conv with contraction 16*C_in
+# that tiles onto the MXU. A stride-1 conv immediately followed by a
+# stride-2 conv (the darknet entry pair) stays entirely in s2d space:
+# conv1 emits phase-packed s2d output (2 row phases x 2 col phases) and
+# conv2 consumes it directly, so no depth-to-space ever materializes.
+# All forms are bit-exact with the plain conv (zero-padded weights
+# contribute exact zeros in integer arithmetic).
+# ---------------------------------------------------------------------------
+
+
+def _requant(acc, b_q, *, sw, sb, sa_in, sa_out, retune, leaky, rounding):
+    """The standard fixed-point requant chain on a raw int32 conv
+    accumulator."""
+    acc = _shift(acc, sw + sa_in - retune, rounding, jnp)
+    acc = acc + _shift(b_q.astype(jnp.int32), sb - retune, rounding, jnp)
+    acc = jnp.clip(acc, INT16_MIN, INT16_MAX)
+    if leaky:
+        acc = _leaky_int(acc, rounding, jnp)
+    out = _shift(acc, retune - sa_out, rounding, jnp)
+    return jnp.clip(out, INT8_MIN, INT8_MAX).astype(jnp.int8)
+
+
+def _s2d_blocks(xp: jnp.ndarray) -> jnp.ndarray:
+    """[B, H', W', C] (even dims) -> [B, H'/2, W'/2, 4C], block channel
+    order (py, px, c)."""
+    b, hp, wp_, c = xp.shape
+    return xp.reshape(b, hp // 2, 2, wp_ // 2, 2, c).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp_ // 2, 4 * c)
+
+
+def _s2_block_weights(w: np.ndarray, out_phases: bool) -> np.ndarray:
+    """3x3 conv weights -> 2x2 block-conv weights over odd-aligned s2d
+    input (x padded 1; block s = pixels {2s-1, 2s}).
+
+    out_phases=False: plain stride-2 conv, output tap j = 2r+py.
+    out_phases=True: stride-1 conv emitting BOTH row/col phases
+    (output group (a, b) is y[2t+a, 2s+b]), tap j = 2r+py-a.
+    """
+    c_in, c_out = w.shape[2], w.shape[3]
+    n_ph = 4 if out_phases else 1
+    w4 = np.zeros((2, 2, 4 * c_in, n_ph * c_out), w.dtype)
+    for r in range(2):
+        for s in range(2):
+            for py in range(2):
+                for px in range(2):
+                    ci = (py * 2 + px) * c_in
+                    for a in range(2 if out_phases else 1):
+                        for bb in range(2 if out_phases else 1):
+                            j, k = 2 * r + py - a, 2 * s + px - bb
+                            if not (0 <= j <= 2 and 0 <= k <= 2):
+                                continue
+                            co = ((a * 2 + bb) * c_out
+                                  if out_phases else 0)
+                            w4[r, s, ci:ci + c_in,
+                               co:co + c_out] = w[j, k]
+    return w4
+
+
+def _even_block_weights(w: np.ndarray) -> np.ndarray:
+    """3x3 stride-2 conv weights -> 2x2 block-conv weights over an
+    EVEN-aligned, zero-block-padded s2d input (block t = rows
+    {2t, 2t+1}; tap j = 2r+a-1) — the form that consumes the entry
+    pair's phase-packed intermediate directly."""
+    c4, c_out = w.shape[2] * 4, w.shape[3]
+    c_in = w.shape[2]
+    w4 = np.zeros((2, 2, c4, c_out), w.dtype)
+    for r in range(2):
+        for s in range(2):
+            for a in range(2):
+                for bb in range(2):
+                    j, k = 2 * r + a - 1, 2 * s + bb - 1
+                    if not (0 <= j <= 2 and 0 <= k <= 2):
+                        continue
+                    ci = (a * 2 + bb) * c_in
+                    w4[r, s, ci:ci + c_in, :] = w[j, k]
+    return w4
+
+
+def _block_conv(x2, w4):
+    return jax.lax.conv_general_dilated(
+        x2, jnp.asarray(w4), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+
+
+def int8_conv_stride2_s2d(x_q, w_q, b_q, *, sw: int, sb: int, sa_in: int,
+                          sa_out: int, retune: int, leaky: bool = True,
+                          rounding: str = "nearest") -> jnp.ndarray:
+    """3x3 stride-2 pad-1 int8 conv as a 2x2 block conv over the
+    space-to-depth input (contraction 16*C_in on the MXU). Bit-exact
+    with int_conv_requant(stride=2, padding=1)."""
+    b, h, w, c = x_q.shape
+    if h % 2 or w % 2:
+        raise ValueError("stride-2 s2d conv requires even H, W")
+    xp = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    x2 = _s2d_blocks(xp)                       # [B, h/2+1, w/2+1, 4C]
+    acc = _block_conv(x2, _s2_block_weights(np.asarray(w_q), False))
+    return _requant(acc, b_q, sw=sw, sb=sb, sa_in=sa_in, sa_out=sa_out,
+                    retune=retune, leaky=leaky, rounding=rounding)
+
+
+def int8_entry_pair_s2d(x_q, w1, b1, p1: dict, w2, b2, p2: dict,
+                        rounding: str = "nearest") -> jnp.ndarray:
+    """Fused darknet entry: conv1 (3x3 s1 p1 leaky) + conv2 (3x3 s2 p1
+    leaky), both as MXU block convs, the intermediate staying in
+    phase-packed s2d layout (never depth-to-space'd).
+
+    ``p1``/``p2`` carry the per-conv requant parameters
+    (sw, sb, sa_in, sa_out, retune). Bit-exact with the sequential
+    int_conv_requant pair: the phase-packed intermediate holds exactly
+    the requantized y values, and conv2's zero padding is the s2d zero
+    block pad.
+    """
+    b, h, w, c = x_q.shape
+    if h % 2 or w % 2:
+        raise ValueError("entry pair requires even H, W")
+    c1 = w1.shape[-1]
+    xp = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    x2 = _s2d_blocks(xp)                       # odd-aligned blocks
+    acc1 = _block_conv(x2, _s2_block_weights(np.asarray(w1), True))
+    y2 = _requant(acc1, jnp.tile(b1.astype(jnp.int32), 4),
+                  leaky=True, rounding=rounding, **p1)  # [B,h/2,w/2,4*c1]
+    y2p = jnp.pad(y2, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc2 = _block_conv(y2p, _even_block_weights(np.asarray(w2)))
+    acc2 = acc2[:, :h // 2, :w // 2]
+    return _requant(acc2, b2, leaky=True, rounding=rounding, **p2)
+
+
+# ---------------------------------------------------------------------------
 # Generic integer ops (building blocks for integer graphs of the other
 # model families; the slim engine above predates them and is kept
 # bit-frozen against its oracle).

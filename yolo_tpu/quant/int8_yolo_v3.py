@@ -141,24 +141,79 @@ def quantize_yolo_v3(fused, tracker_states: List[dict],
 
 
 def int8_yolo_v3_forward(m: Int8YoloV3, x_q: jnp.ndarray,
-                         rounding: str = "nearest"):
-    """int8 input -> [pred_1, pred_2, pred_3] float heads (s8,16,32)."""
+                         rounding: str = "nearest",
+                         s2d="entry", limit: int = None):
+    """int8 input -> [pred_1, pred_2, pred_3] float heads (s8,16,32).
+
+    ``s2d``: space-to-depth execution of the stride-2 structure —
+    bit-exact, lifts small-C_in high-resolution convs from the VPU onto
+    the MXU (contraction 16*C_in). Modes: "entry" (default; fuse the
+    darknet conv1+conv2 entry pair in s2d space), "stride2" (also every
+    other stride-2 backbone conv), True (both), False (plain convs).
+    Measured on v5e @416² b64 (uncontended): entry 1184 img/s vs plain
+    1117; stride2 924 — the deeper stride-2 convs are MXU-viable
+    already, so the s2d relayout only costs (docs/PERFORMANCE.md v3
+    table).
+
+    ``limit``: stop after the first ``limit`` program ops and return the
+    list of live int8 tensors (stream/slots/res stack) — the prefix-
+    graph attribution hook (scripts/profile_v3.py); None = full forward.
+    """
+    s2d_entry = s2d in (True, "entry")
+    s2d_stride2 = s2d in (True, "stride2")
     stream = (x_q, m.sa_in)     # (int8 array or parts-list, scale)
     slots: Dict[str, Tuple] = {}
     res_stack: List[Tuple] = []
     tap_i = 0
     conv_i = 0
-    for op in m.program:
+    skip_next_conv = False
+    for oi, op in enumerate(m.program):
+        if limit is not None and oi >= limit:
+            break
         kind = op[0]
         if kind == "conv":
+            if skip_next_conv:
+                skip_next_conv = False
+                continue
             _, _, stride, padding, leaky = op
             sa_out = m.tap_sa[tap_i]
             x, sa = stream
-            out = fp.int_conv_requant(
-                x, m.w_q[conv_i], m.b_q[conv_i], sw=m.sw[conv_i],
-                sb=m.sb[conv_i], sa_in=sa, sa_out=sa_out,
-                retune=m.retune[conv_i], padding=padding, stride=stride,
-                leaky=leaky, rounding=rounding)
+            nxt = m.program[oi + 1] if oi + 1 < len(m.program) else None
+            if (s2d_entry and conv_i == 0 and stride == 1 and padding == 1
+                    and leaky and not isinstance(x, (list, tuple))
+                    and nxt is not None and nxt[0] == "conv"
+                    and nxt[2] == 2 and nxt[3] == 1 and nxt[4]):
+                # fused entry pair: conv1 + conv2 stay in s2d space
+                sa_mid = sa_out
+                sa_out2 = m.tap_sa[tap_i + 1]
+                p1 = dict(sw=m.sw[conv_i], sb=m.sb[conv_i], sa_in=sa,
+                          sa_out=sa_mid, retune=m.retune[conv_i])
+                p2 = dict(sw=m.sw[conv_i + 1], sb=m.sb[conv_i + 1],
+                          sa_in=sa_mid, sa_out=sa_out2,
+                          retune=m.retune[conv_i + 1])
+                out = fp.int8_entry_pair_s2d(
+                    x, m.w_q[conv_i], m.b_q[conv_i], p1,
+                    m.w_q[conv_i + 1], m.b_q[conv_i + 1], p2,
+                    rounding=rounding)
+                stream = (out, sa_out2)
+                tap_i += 2
+                conv_i += 2
+                skip_next_conv = True
+                continue
+            if (s2d_stride2 and stride == 2 and padding == 1
+                    and m.w_q[conv_i].shape[0] == 3
+                    and not isinstance(x, (list, tuple))):
+                out = fp.int8_conv_stride2_s2d(
+                    x, m.w_q[conv_i], m.b_q[conv_i], sw=m.sw[conv_i],
+                    sb=m.sb[conv_i], sa_in=sa, sa_out=sa_out,
+                    retune=m.retune[conv_i], leaky=leaky,
+                    rounding=rounding)
+            else:
+                out = fp.int_conv_requant(
+                    x, m.w_q[conv_i], m.b_q[conv_i], sw=m.sw[conv_i],
+                    sb=m.sb[conv_i], sa_in=sa, sa_out=sa_out,
+                    retune=m.retune[conv_i], padding=padding,
+                    stride=stride, leaky=leaky, rounding=rounding)
             stream = (out, sa_out)
             tap_i += 1
             conv_i += 1
@@ -187,6 +242,15 @@ def int8_yolo_v3_forward(m: Int8YoloV3, x_q: jnp.ndarray,
             stream = ([(left, sl), (x, sa)], None)
         else:  # pragma: no cover
             raise ValueError(op)
+    if limit is not None:
+        live = [stream] + list(slots.values()) + res_stack
+        out = []
+        for t, _ in live:
+            if isinstance(t, list):
+                out.extend(x for x, _ in t)
+            else:
+                out.append(t)
+        return out
     preds = []
     for name in ("pred_1", "pred_2", "pred_3"):
         x, sa = slots[name]
@@ -225,7 +289,8 @@ def quantize_pipeline_yolo_v3(params_fp32, cfg: DetectorConfig,
 
 
 def make_int8_yolo_v3_detect_fn(m: Int8YoloV3, cfg: DetectorConfig,
-                                rounding: str = "nearest"):
+                                rounding: str = "nearest",
+                                s2d="entry"):
     from yolo_tpu import detector as D
     from yolo_tpu.ops import nms
 
@@ -235,8 +300,9 @@ def make_int8_yolo_v3_detect_fn(m: Int8YoloV3, cfg: DetectorConfig,
         @staticmethod
         def forward(p, x, cfg, train=False):
             assert not train
-            return int8_yolo_v3_forward(
-                m, fp.quantize_input(x, m.sa_in), rounding)
+            x_q = x if x.dtype == jnp.int8 else fp.quantize_input(
+                x, m.sa_in)
+            return int8_yolo_v3_forward(m, x_q, rounding, s2d=s2d)
 
     @jax.jit
     def detect(images):
