@@ -57,26 +57,43 @@ def build(version, cfg, params, calib):
                                   spp=version.endswith("_spp")), cfg)
 
 
-def main(size=416, batch=64):
+# per-image GFLOPs of the conv stack at 416² (XLA cost analysis via
+# cli/info.py); used for the MFU column (int8 peak ~394 TOPS on v5e)
+_GFLOPS_416 = {"slim_yolo_v2": 4.93, "yolo_v2": 29.4, "tiny_yolo_v3": 5.5,
+               "yolo_v3": 65.6, "yolo_v3_spp": 66.2}
+_INT8_PEAK_TOPS = 394.0
+
+
+def measure(version, size, batch, rng, iters=20):
+    cfg = get_config(version, "mask", input_size=(size, size),
+                     pre_nms_top_k=128)
+    det = Detector(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    calib = [rng.random((4, size, size, 3), dtype=np.float32)]
+    detect = build(version, cfg, params, calib)
+    images = jax.device_put(rng.random((batch, size, size, 3),
+                                       dtype=np.float32))
+    t = timeit(detect, images, iters=iters)
+    gf = _GFLOPS_416.get(version, 0.0) * (size / 416) ** 2
+    mfu = (batch / t) * gf / 1e3 / _INT8_PEAK_TOPS
+    print(f"{version:14s} INT8 @{size}² b{batch:3d}: {t*1e3:7.2f} ms  "
+          f"{batch/t:8.0f} img/s   MFU {mfu*100:4.1f}%", flush=True)
+    return batch / t
+
+
+def main(size=416, batches=(64,), versions=None):
     rng = np.random.default_rng(0)
-    for version in ("slim_yolo_v2", "yolo_v2", "tiny_yolo_v3", "yolo_v3",
-                    "yolo_v3_spp"):
-        cfg = get_config(version, "mask", input_size=(size, size),
-                         pre_nms_top_k=128)
-        det = Detector(cfg)
-        params = det.init_params(jax.random.PRNGKey(0))
-        calib = [rng.random((4, size, size, 3), dtype=np.float32)]
-        detect = build(version, cfg, params, calib)
-        images = jax.device_put(rng.random((batch, size, size, 3),
-                                           dtype=np.float32))
-        t = timeit(detect, images)
-        print(f"{version:14s} INT8 @{size}² b{batch}: {t*1e3:7.2f} ms  "
-              f"{batch/t:8.0f} img/s", flush=True)
+    versions = versions or ("slim_yolo_v2", "yolo_v2", "tiny_yolo_v3",
+                            "yolo_v3", "yolo_v3_spp")
+    for version in versions:
+        for batch in batches:
+            measure(version, size, batch, rng)
 
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=416)
-    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--batch", type=int, nargs="+", default=[64])
+    p.add_argument("--versions", nargs="+", default=None)
     a = p.parse_args()
-    main(a.size, a.batch)
+    main(a.size, tuple(a.batch), a.versions)
