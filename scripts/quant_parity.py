@@ -141,11 +141,24 @@ def main(epochs: int = 40, size: int = 64, batch: int = 16,
     results["int8_headclip"] = evaluator.evaluate(
         lambda im: detect_int8_hc(np.asarray(im, np.float32)))
 
+    # automatic cap selection (quant/autoclip.py): label-free detection
+    # agreement on the calibration batches must find a cap that
+    # matches/beats the hand-picked 16
+    from yolo_tpu.quant.autoclip import select_head_clip
+
+    auto_cap, cap_scores = select_head_clip(
+        "slim_yolo_v2", params, cfg, calib, verbose=True)
+    m_auto = quantize_pipeline(params, cfg, calib, head_clip=auto_cap)
+    detect_int8_auto = make_int8_detect_fn(m_auto, cfg)
+    results[f"int8_autoclip[{auto_cap}]"] = evaluator.evaluate(
+        lambda im: detect_int8_auto(np.asarray(im, np.float32)))
+
     print("\n=== mAP by stage ===")
     for k, v in results.items():
         print(f"{k:>16}: {v:.4f}  (delta vs fp32: "
               f"{(v - results['fp32']) * 100:+.2f} points)")
-    best = max(results["int8_integer"], results["int8_headclip"])
+    best = max(v for k, v in results.items() if k.startswith("int8_")
+               and "fakequant" not in k)
     delta = (results["fp32"] - best) * 100
     print(f"\nbest int8 integer-engine delta: {delta:.2f} mAP points "
           f"({'PASS' if delta < 0.5 else 'CHECK'} vs the <=0.5 target)")

@@ -149,6 +149,24 @@ def test_int8_forward_s2d_layers_bit_exact(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_conv_folded_residual_bit_exact(rng):
+    """int_conv_requant(residual=...) == conv then int_add_requant (the
+    fold keeps the identical elementwise chain inside the conv
+    epilogue)."""
+    B, H, W, C = 2, 8, 8, 8
+    x = jnp.asarray(rng.integers(-128, 128, (B, H, W, C)), jnp.int8)
+    r = jnp.asarray(rng.integers(-128, 128, (B, H, W, C)), jnp.int8)
+    w = jnp.asarray(rng.integers(-30, 30, (3, 3, C, C)), jnp.int8)
+    bq = jnp.asarray(rng.integers(-100, 100, (C,)), jnp.int32)
+    kw = dict(sw=8, sb=7, sa_in=4, sa_out=3, retune=11, padding=1,
+              stride=1, leaky=True)
+    y = fp.int_conv_requant(x, w, bq, **kw)
+    want = np.asarray(fp.int_add_requant(y, 3, r, 5, 4))
+    got = np.asarray(fp.int_conv_requant(x, w, bq, residual=(r, 5),
+                                         sa_res=4, **kw))
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("rounding", ["nearest", "floor"])
 def test_stride2_s2d_conv_bit_exact(rng, rounding):
     """int8_conv_stride2_s2d == int_conv_requant(stride=2, padding=1)."""

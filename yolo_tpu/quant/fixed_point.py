@@ -504,7 +504,8 @@ def int8_entry_pair_s2d(x_q, w1, b1, p1: dict, w2, b2, p2: dict,
 
 def int_conv_requant(x, w_q, b_q, *, sw: int, sb: int, sa_in, sa_out: int,
                      retune: int, padding: int = 0, stride: int = 1,
-                     leaky: bool = True, rounding: str = "nearest"):
+                     leaky: bool = True, rounding: str = "nearest",
+                     residual=None, sa_res: int = None):
     """Integer conv + fixed-point requant, generalized.
 
     ``x`` is an int8 array with scale exponent ``sa_in`` — or, for convs
@@ -512,6 +513,15 @@ def int_conv_requant(x, w_q, b_q, *, sw: int, sb: int, sa_in, sa_out: int,
     of (int8 array, sa) pairs: the conv splits along C_in and each
     partial accumulator is shifted to the retune scale before summing
     (exactly equivalent to the float sim's concat-then-conv).
+
+    ``residual``: optional (r_q, sa_r) int8 skip tensor. The
+    int_add_requant chain (align scales, int sum, requant to ``sa_res``)
+    runs INSIDE this call, elementwise on the conv output — bit-exact
+    with the separate add, but XLA fuses it into the conv epilogue so
+    the conv's int8 output never round-trips through HBM. Measured on
+    v5e @208² b64 the standalone 'res' op costs ~11 ms/batch in the
+    fused v3 graph; the folded form removes that entirely
+    (docs/PERFORMANCE.md v3 table).
     """
     parts = x if isinstance(x, (list, tuple)) else [(x, sa_in)]
     # accumulate raw int32 partials per shift amount, shift once per
@@ -540,7 +550,11 @@ def int_conv_requant(x, w_q, b_q, *, sw: int, sb: int, sa_in, sa_out: int,
     if leaky:
         acc = _leaky_int(acc, rounding, jnp)
     out = _shift(acc, retune - sa_out, rounding, jnp)
-    return jnp.clip(out, INT8_MIN, INT8_MAX).astype(jnp.int8)
+    out = jnp.clip(out, INT8_MIN, INT8_MAX).astype(jnp.int8)
+    if residual is not None:
+        r_q, sa_r = residual
+        out = int_add_requant(out, sa_out, r_q, sa_r, sa_res, rounding)
+    return out
 
 
 def int_add_requant(a, sa_a: int, b, sa_b: int, sa_out: int,

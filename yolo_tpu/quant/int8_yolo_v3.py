@@ -166,15 +166,15 @@ def int8_yolo_v3_forward(m: Int8YoloV3, x_q: jnp.ndarray,
     res_stack: List[Tuple] = []
     tap_i = 0
     conv_i = 0
-    skip_next_conv = False
+    skip_next = 0
     for oi, op in enumerate(m.program):
         if limit is not None and oi >= limit:
             break
         kind = op[0]
+        if skip_next:
+            skip_next -= 1
+            continue
         if kind == "conv":
-            if skip_next_conv:
-                skip_next_conv = False
-                continue
             _, _, stride, padding, leaky = op
             sa_out = m.tap_sa[tap_i]
             x, sa = stream
@@ -198,7 +198,7 @@ def int8_yolo_v3_forward(m: Int8YoloV3, x_q: jnp.ndarray,
                 stream = (out, sa_out2)
                 tap_i += 2
                 conv_i += 2
-                skip_next_conv = True
+                skip_next = 1
                 continue
             if (s2d_stride2 and stride == 2 and padding == 1
                     and m.w_q[conv_i].shape[0] == 3
@@ -209,11 +209,34 @@ def int8_yolo_v3_forward(m: Int8YoloV3, x_q: jnp.ndarray,
                     retune=m.retune[conv_i], leaky=leaky,
                     rounding=rounding)
             else:
+                # a conv directly feeding a 'res' folds the residual-add
+                # chain into its epilogue (bit-exact; avoids an 11 ms
+                # HBM round-trip at 208² — see int_conv_requant)
+                residual = sa_res = None
+                if (nxt is not None and nxt[0] == "res"
+                        and (limit is None or oi + 1 < limit)):
+                    r_q, sa_r = res_stack.pop()
+                    # The skip tensor has two consumers (the block's 1x1
+                    # conv and this add). Without a barrier XLA keeps
+                    # BOTH producing convs' raw s32 accumulators in HBM
+                    # (708 MB each at 208² b64) and requantizes in a
+                    # separate fusion — the barrier pins the s8 form as
+                    # the materialization boundary so each requant rides
+                    # its conv epilogue (verified in compiled HLO).
+                    residual = (jax.lax.optimization_barrier(r_q), sa_r)
+                    sa_res = m.tap_sa[tap_i + 1]
                 out = fp.int_conv_requant(
                     x, m.w_q[conv_i], m.b_q[conv_i], sw=m.sw[conv_i],
                     sb=m.sb[conv_i], sa_in=sa, sa_out=sa_out,
                     retune=m.retune[conv_i], padding=padding,
-                    stride=stride, leaky=leaky, rounding=rounding)
+                    stride=stride, leaky=leaky, rounding=rounding,
+                    residual=residual, sa_res=sa_res)
+                if residual is not None:
+                    stream = (out, sa_res)
+                    tap_i += 2
+                    conv_i += 1
+                    skip_next = 1
+                    continue
             stream = (out, sa_out)
             tap_i += 1
             conv_i += 1
