@@ -19,7 +19,34 @@ ZLkanyo009/Yolo-compression-and-deployment-in-FPGA:
 
 __version__ = "0.1.0"
 
-from yolo_tpu.config import (  # noqa: F401
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (opt-out via
+    YOLO_TPU_NO_COMPILE_CACHE=1). The big int8 serving graphs compile in
+    1-2.5 min each on TPU; the cache makes every repeat run (benches,
+    CLIs, notebooks) start warm."""
+    if _os.environ.get("YOLO_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "yolo_tpu_xla"))
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache even fast compiles; the tunnel round-trip dominates
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
+from yolo_tpu.config import (  # noqa: F401,E402
     ANCHOR_SIZE,
     ANCHOR_SIZE_COCO,
     ANCHOR_SIZE_MASK,

@@ -16,6 +16,7 @@ batch_norm=False model form (reference SlimYOLOv2_quantize_bnfuse).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _BN_EPS = 1e-5
@@ -35,13 +36,20 @@ def _fold_one(layer: dict) -> dict:
     return out
 
 
-def fold_batch_norm(params):
-    """Recursively fold every conv+BN block in a parameter pytree."""
+def _fold_tree(params):
     if isinstance(params, dict):
         if "w" in params and "bn" in params:
             return _fold_one(params)
-        return {k: fold_batch_norm(v) for k, v in params.items()}
+        return {k: _fold_tree(v) for k, v in params.items()}
     if isinstance(params, (list, tuple)):
         t = type(params)
-        return t(fold_batch_norm(v) for v in params)
+        return t(_fold_tree(v) for v in params)
     return params
+
+
+@jax.jit
+def fold_batch_norm(params):
+    """Recursively fold every conv+BN block in a parameter pytree.
+    Jitted as one program over the whole tree — eager per-layer math
+    dispatches ~6 tiny TPU ops per conv over the tunnel."""
+    return _fold_tree(params)

@@ -60,14 +60,13 @@ def quantize_model(params_fused, tracker_states, retune: Dict[str, int],
     integer model."""
     from yolo_tpu.quant.qsim import activation_scale_exponents
 
+    params_fused = jax.device_get(params_fused)  # one transfer; np math
     w_q, b_q, sw, sb = {}, {}, {}, {}
     for name in QUANT_LAYER_NAMES:
-        wq, wscale = q.quantize_pow2(params_fused[name]["w"], bitwidth)
-        bq, bscale = q.quantize_pow2(params_fused[name]["b"], bitwidth)
-        w_q[name] = jnp.clip(wq, INT8_MIN, INT8_MAX).astype(jnp.int8)
-        b_q[name] = jnp.clip(bq, INT8_MIN, INT8_MAX).astype(jnp.int32)
-        sw[name] = int(jnp.log2(wscale))
-        sb[name] = int(jnp.log2(bscale))
+        wq, sw[name] = q.quantize_pow2_np(params_fused[name]["w"], bitwidth)
+        bq, sb[name] = q.quantize_pow2_np(params_fused[name]["b"], bitwidth)
+        w_q[name] = np.clip(wq, INT8_MIN, INT8_MAX).astype(np.int8)
+        b_q[name] = np.clip(bq, INT8_MIN, INT8_MAX).astype(np.int32)
     sa = activation_scale_exponents(tracker_states)
     return Int8Model(w_q=w_q, b_q=b_q, sw=sw, sb=sb, sa=sa,
                      retune=dict(retune))
@@ -85,6 +84,15 @@ def _shift(v, s: int, rounding: str, xp):
         return v
     if s < 0:
         return v * (1 << (-s))
+    if s >= 32:
+        # int32 domain: |v| < 2^31 <= 2^(s-1), so the rounded result is
+        # exactly 0 (floor: 0 or -1 by sign). Shift-by->=bitwidth is UB
+        # in XLA and the 2^(s-1) offset would overflow int32; such
+        # shifts only arise from degenerate (e.g. random-weight)
+        # calibrations whose activations decay layer over layer.
+        if rounding == "floor":
+            return xp.right_shift(v, 31)
+        return xp.zeros_like(v)
     if rounding == "floor":
         return xp.right_shift(v, s)
     # round-half-away-from-zero without abs/sign/mul (3 VPU ops, not 5):

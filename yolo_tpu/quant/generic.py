@@ -17,6 +17,7 @@ exists only in the C engine). The bit-true integer engine
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Iterable, List, Tuple
 
 import jax
@@ -27,10 +28,7 @@ from yolo_tpu.ops import blocks
 from yolo_tpu.quant import quantize as q
 
 
-def fake_quantize_all_convs(params, bitwidth: int = 8):
-    """Fake-quantize every conv weight/bias in an arbitrary pytree
-    (pow2 per-tensor scales). BN params are left alone — fold first for
-    reference-parity quantization of BN models."""
+def _fake_quantize_tree(params, bitwidth: int):
     if isinstance(params, dict):
         if "w" in params:
             out = dict(params)
@@ -38,12 +36,22 @@ def fake_quantize_all_convs(params, bitwidth: int = 8):
             if "b" in params:
                 out["b"] = q.fake_quantize(params["b"], bitwidth)
             return out
-        return {k: fake_quantize_all_convs(v, bitwidth)
+        return {k: _fake_quantize_tree(v, bitwidth)
                 for k, v in params.items()}
     if isinstance(params, (list, tuple)):
-        return type(params)(fake_quantize_all_convs(v, bitwidth)
+        return type(params)(_fake_quantize_tree(v, bitwidth)
                             for v in params)
     return params
+
+
+@partial(jax.jit, static_argnums=1)
+def fake_quantize_all_convs(params, bitwidth: int = 8):
+    """Fake-quantize every conv weight/bias in an arbitrary pytree
+    (pow2 per-tensor scales). BN params are left alone — fold first for
+    reference-parity quantization of BN models. One jitted program for
+    the whole tree (per-leaf eager dispatch over the TPU tunnel costs
+    ~50 s for darknet-53)."""
+    return _fake_quantize_tree(params, bitwidth)
 
 
 class _Tap:
@@ -102,14 +110,17 @@ def calibrate_generic(module, params_q, cfg, batches: Iterable,
 
     ``head_clip`` caps the tracked range of the prediction-head taps (the
     last len(STRIDES) conv calls in every model family)."""
-    # bootstrap: one eager pass only to discover the number of taps; the
-    # EMA itself starts fresh so the first real batch initializes it
-    # (matching the reference's first_a semantics).
+    # bootstrap: an abstract (eval_shape — zero compute, zero compile)
+    # pass only to discover the number of taps; the EMA itself starts
+    # fresh so the first real batch initializes it (matching the
+    # reference's first_a semantics). An eager probe here used to cost
+    # ~8 min for darknet-53 over the TPU tunnel (per-op dispatch).
     first = next(iter(batches)) if not isinstance(batches, list) \
         else batches[0]
-    _, probe, _ = quant_forward_generic(module, params_q,
-                                     jnp.asarray(first[:1]), cfg, [],
-                                     update=True, bitwidth=bitwidth)
+    probe = jax.eval_shape(
+        lambda x: quant_forward_generic(module, params_q, x, cfg, [],
+                                        update=True, bitwidth=bitwidth)[1],
+        jax.ShapeDtypeStruct((1,) + tuple(first.shape[1:]), jnp.float32))
     states = [q.tracker_init() for _ in probe]
     caps = None
     if head_clip is not None:

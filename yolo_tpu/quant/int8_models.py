@@ -86,19 +86,17 @@ def quantize_tiny_yolo_v3(fused, tracker_states: List[dict],
     (index 0 = input). pre_maxima: per-conv max |pre-activation| from the
     calibration data (same order as TINY_CONV_ORDER).
     """
-    flat = _flat_tiny_params(fused)
+    flat = jax.device_get(_flat_tiny_params(fused))  # one transfer
     w_q, b_q, sw, sb, sa, retune = {}, {}, {}, {}, {}, {}
-    sa["in"] = int(jnp.log2(q.tracker_pow2(tracker_states[0])))
+    sa["in"] = q.tracker_sa_np(tracker_states[0])
     limit = 2.0 ** (acc_bits - 1)
     for i, name in enumerate(TINY_CONV_ORDER):
         layer = flat[name]
-        wq, wscale = q.quantize_pow2(layer["w"])
-        bq, bscale = q.quantize_pow2(layer["b"])
-        w_q[name] = jnp.clip(wq, fp.INT8_MIN, fp.INT8_MAX).astype(jnp.int8)
-        b_q[name] = jnp.clip(bq, fp.INT8_MIN, fp.INT8_MAX).astype(jnp.int32)
-        sw[name] = int(jnp.log2(wscale))
-        sb[name] = int(jnp.log2(bscale))
-        sa[name] = int(jnp.log2(q.tracker_pow2(tracker_states[i + 1])))
+        wq, sw[name] = q.quantize_pow2_np(layer["w"])
+        bq, sb[name] = q.quantize_pow2_np(layer["b"])
+        w_q[name] = np.clip(wq, fp.INT8_MIN, fp.INT8_MAX).astype(np.int8)
+        b_q[name] = np.clip(bq, fp.INT8_MIN, fp.INT8_MAX).astype(np.int32)
+        sa[name] = q.tracker_sa_np(tracker_states[i + 1])
         mx = float(pre_maxima[i])
         retune[name] = (acc_bits - 2 if mx <= 0 else
                         min(acc_bits - 2,
@@ -253,19 +251,17 @@ def quantize_yolo_v2(fused, tracker_states: List[dict],
                      pre_maxima: List[float],
                      acc_bits: int = 16) -> Int8YoloV2:
     """BN-fused yolo_v2 params + generic calibration -> integer model."""
-    flat = _flat_v2_params(fused)
+    flat = jax.device_get(_flat_v2_params(fused))  # one transfer
     w_q, b_q, sw, sb, sa, retune = {}, {}, {}, {}, {}, {}
-    sa["in"] = int(jnp.log2(q.tracker_pow2(tracker_states[0])))
+    sa["in"] = q.tracker_sa_np(tracker_states[0])
     limit = 2.0 ** (acc_bits - 1)
     for i, name in enumerate(V2_CONV_ORDER):
         layer = flat[name]
-        wq, wscale = q.quantize_pow2(layer["w"])
-        bq, bscale = q.quantize_pow2(layer["b"])
-        w_q[name] = jnp.clip(wq, fp.INT8_MIN, fp.INT8_MAX).astype(jnp.int8)
-        b_q[name] = jnp.clip(bq, fp.INT8_MIN, fp.INT8_MAX).astype(jnp.int32)
-        sw[name] = int(jnp.log2(wscale))
-        sb[name] = int(jnp.log2(bscale))
-        sa[name] = int(jnp.log2(q.tracker_pow2(tracker_states[i + 1])))
+        wq, sw[name] = q.quantize_pow2_np(layer["w"])
+        bq, sb[name] = q.quantize_pow2_np(layer["b"])
+        w_q[name] = np.clip(wq, fp.INT8_MIN, fp.INT8_MAX).astype(np.int8)
+        b_q[name] = np.clip(bq, fp.INT8_MIN, fp.INT8_MAX).astype(np.int32)
+        sa[name] = q.tracker_sa_np(tracker_states[i + 1])
         mx = float(pre_maxima[i])
         retune[name] = (acc_bits - 2 if mx <= 0 else
                         min(acc_bits - 2,

@@ -114,6 +114,7 @@ def quantize_yolo_v3(fused, tracker_states: List[dict],
     """BN-fused yolo_v3(-spp) params + generic calibration -> integer
     model. tracker_states index 0 is the input tap."""
     program = _program(spp)
+    fused = jax.device_get(fused)  # one transfer; numpy math below
     w_q, b_q, sw, sb, retune = [], [], [], [], []
     limit = 2.0 ** (acc_bits - 1)
     conv_i = 0
@@ -121,20 +122,19 @@ def quantize_yolo_v3(fused, tracker_states: List[dict],
         if op[0] != "conv":
             continue
         layer = _get_path(fused, op[1])
-        wq, ws = q.quantize_pow2(layer["w"])
-        bq, bs = q.quantize_pow2(layer["b"])
-        w_q.append(jnp.clip(wq, fp.INT8_MIN, fp.INT8_MAX).astype(jnp.int8))
-        b_q.append(jnp.clip(bq, fp.INT8_MIN, fp.INT8_MAX).astype(jnp.int32))
-        sw.append(int(jnp.log2(ws)))
-        sb.append(int(jnp.log2(bs)))
+        wq, ws = q.quantize_pow2_np(layer["w"])
+        bq, bs = q.quantize_pow2_np(layer["b"])
+        w_q.append(np.clip(wq, fp.INT8_MIN, fp.INT8_MAX).astype(np.int8))
+        b_q.append(np.clip(bq, fp.INT8_MIN, fp.INT8_MAX).astype(np.int32))
+        sw.append(ws)
+        sb.append(bs)
         mx = float(pre_maxima[conv_i])
         retune.append(acc_bits - 2 if mx <= 0 else
                       min(acc_bits - 2,
                           int(math.floor(math.log2(limit / mx)))))
         conv_i += 1
-    tap_sa = [int(jnp.log2(q.tracker_pow2(st)))
-              for st in tracker_states[1:]]
-    sa_in = int(jnp.log2(q.tracker_pow2(tracker_states[0])))
+    tap_sa = [q.tracker_sa_np(st) for st in tracker_states[1:]]
+    sa_in = q.tracker_sa_np(tracker_states[0])
     return Int8YoloV3(spp=spp, w_q=w_q, b_q=b_q, sw=sw, sb=sb,
                       sa_in=sa_in, tap_sa=tap_sa, retune=retune,
                       program=program)

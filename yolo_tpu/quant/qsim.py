@@ -199,7 +199,5 @@ def find_retune_exponents(params_q, cfg, tracker_states, batches,
 
 def activation_scale_exponents(tracker_states) -> Dict[str, int]:
     """log2 of each tracker's pow2 scale — the C scale_a table."""
-    return {
-        name: int(jnp.log2(q.tracker_pow2(st)))
-        for name, st in tracker_states.items()
-    }
+    return {name: q.tracker_sa_np(st)
+            for name, st in tracker_states.items()}

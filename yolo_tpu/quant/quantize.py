@@ -84,6 +84,35 @@ def tracker_pow2(state) -> jnp.ndarray:
     return 2.0 ** jnp.floor(jnp.log2(state["scale"]))
 
 
+def quantize_pow2_np(t, bitwidth: int = 8):
+    """Host (numpy) twin of quantize_pow2: (levels, log2(scale) int).
+
+    The integer-model builders run per-conv on the host after
+    calibration; doing this math eagerly in jnp dispatches ~2 tiny TPU
+    programs per conv over the tunnel (~30 s for darknet-53). One
+    device_get of the tree + numpy is instant and bit-identical (pow2
+    scales are exact in both)."""
+    import numpy as np
+
+    t = np.asarray(t, np.float32)
+    max_abs = np.max(np.abs(t)) if t.size else np.float32(0)
+    if max_abs <= 0:
+        return np.zeros_like(t), 0
+    # stay in float32 so the exponent matches the device computation
+    # exactly even at pow2 boundaries
+    scale = np.float32(2.0 ** (bitwidth - 1) - 1) / max_abs
+    s_exp = int(np.floor(np.log2(scale)))
+    return np.round(t * np.float32(2.0 ** s_exp)), s_exp
+
+
+def tracker_sa_np(state) -> int:
+    """Host twin of log2(tracker_pow2(state)): the tap's scale exponent."""
+    import numpy as np
+
+    scale = np.asarray(state["scale"], np.float32)  # f32 like the device
+    return int(np.floor(np.log2(scale)))
+
+
 def tracker_quantize(state, activation, bitwidth: int = 8,
                      update: bool = False, rescale: bool = True,
                      max_cap: float = None):
