@@ -92,6 +92,18 @@ def test_serve_cli_fake(monkeypatch):
     assert fps > 0
 
 
+def test_serve_cli_int8_dispatch():
+    """serve -v tiny_yolo_v3 must serve tiny's OWN integer engine (the
+    CLI used to build the slim graph for every version)."""
+    from yolo_tpu.cli.serve import main, parse_args
+
+    args = parse_args(["-v", "tiny_yolo_v3", "-d", "synthetic",
+                       "--input_size", "64", "64", "--batch", "4",
+                       "--iters", "2"])
+    fps = main(args)
+    assert fps > 0
+
+
 def test_visual_test_cli_int8_dispatch(tmp_path, monkeypatch):
     """test -q must dispatch on -v to each family's integer engine
     (ADVICE r2: the slim-only pipeline KeyError'd on other versions)."""

@@ -49,24 +49,48 @@ def _frames(args, cfg, n):
     return frames
 
 
+def _trained_or_none(args, cfg):
+    """Load --trained_model into an fp32 param tree, or None (random
+    weights -> structurally-real perf demo, like the bench scripts)."""
+    if not args.trained_model:
+        return None
+    from yolo_tpu.cli.eval import load_params
+    from yolo_tpu.detector import Detector
+    return load_params(args, Detector(cfg))
+
+
 def main(args=None):
     args = args or parse_args()
     cfg = build_cfg(args)
 
     import jax
 
+    sa_in = None
     if args.fp32:
         from yolo_tpu.cli.eval import load_params
         from yolo_tpu.detector import Detector
         det = Detector(cfg)
         params = load_params(args, det)
         detect = lambda im: det.detect(params, im)  # noqa: E731
-    else:
+    elif args.version in ("slim_yolo_v2", "slim_yolo_v2_q_bf"):
         from yolo_tpu.quant.int8_graph import build_int8_detect
-        fn, m = build_int8_detect(cfg)
+        params = _trained_or_none(args, cfg)
+        fn, m = build_int8_detect(cfg, params_fp32=params)
         detect = lambda im: fn(None, im)  # noqa: E731
-
-    sa_in = None if args.fp32 else m.sa["in"]
+        sa_in = m.sa["in"]  # slim's graph accepts host-quantized int8
+    else:
+        # every other family through its own true-integer engine
+        # (quant/dispatch.py); these detect fns take float32 input
+        from yolo_tpu.detector import Detector
+        from yolo_tpu.quant.dispatch import build_int8_detector
+        params = _trained_or_none(args, cfg)
+        if params is None:
+            params = Detector(cfg).init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        h, w = cfg.input_size
+        calib = [rng.random((8, h, w, 3), dtype=np.float32)
+                 for _ in range(4)]
+        _, detect = build_int8_detector(args.version, params, cfg, calib)
     sd = StreamingDetector(cfg, detect, batch_size=args.batch,
                            sa_in=sa_in)
     frames = _frames(args, cfg, args.batch)
