@@ -129,8 +129,24 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 40, size: int = 64,
     print(f"integer+headclip mAP = "
           f"{results['int8_integer_headclip']:.4f}", flush=True)
 
+    # automatic cap selection (quant/autoclip.py): label-free detection
+    # agreement on the calibration batches, no hand-picked constant
+    from yolo_tpu.quant.autoclip import select_head_clip
+    from yolo_tpu.quant.dispatch import build_int8_detector
+
+    auto_cap, _scores = select_head_clip(version, params, cfg, calib,
+                                         verbose=True)
+    _, int_detect_auto = build_int8_detector(version, params, cfg, calib,
+                                             head_clip=auto_cap)
+    results[f"int8_integer_autoclip[{auto_cap}]"] = evaluator.evaluate(
+        lambda im: int_detect_auto(np.asarray(im, np.float32)))
+    print(f"integer+autoclip({auto_cap}) mAP = "
+          f"{results[f'int8_integer_autoclip[{auto_cap}]']:.4f}",
+          flush=True)
+
     best_int = max(results["int8_integer"],
-                   results["int8_integer_headclip"])
+                   results["int8_integer_headclip"],
+                   results[f"int8_integer_autoclip[{auto_cap}]"])
     delta = results["int8_fakequant"] - best_int
     print(f"\n=== {version} parity ===")
     for k, v in results.items():

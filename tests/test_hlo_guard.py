@@ -110,6 +110,31 @@ def test_tpu_compiled_convs_fused(int8_slim):
                 f"unfused convolution in ENTRY computation:\n{ln}")
 
 
+def test_bf16_train_step_convs_are_bf16():
+    """Mixed-precision guard: with compute_dtype='bfloat16' EVERY
+    convolution in the train step (forward AND backward) runs in bf16 —
+    the 2x-MXU win of docs/TRAINING.md can't silently regress to f32
+    (e.g. an fp32 master param reaching a conv uncast)."""
+    from yolo_tpu.detector import Detector
+    from yolo_tpu.train.targets import build_targets
+    from yolo_tpu.train.trainer import TrainConfig, make_train_step
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(SIZE, SIZE))
+    det = Detector(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    tc = TrainConfig(base_lr=1e-4, compute_dtype="bfloat16")
+    opt, step = make_train_step(det.module, det.cfg, tc, donate=False)
+    opt_state = opt.init(params)
+    images = jnp.zeros((2, SIZE, SIZE, 3), jnp.float32)
+    gt = build_targets(cfg, [np.array([[0.2, 0.2, 0.7, 0.8, 1.0]])] * 2)
+    text = jax.jit(step).lower(params, opt_state, images, gt,
+                               1e-4).as_text()
+    convs = _conv_lines(text)
+    assert len(convs) >= 10, "expected forward + backward conv stack"
+    bad = [ln for ln in convs if "bf16" not in ln]
+    assert not bad, f"non-bf16 convolution in bf16 train step:\n{bad[0]}"
+
+
 def test_stride2_s2d_conv_is_mxu_shaped(rng):
     """The space-to-depth stride-2 form must lower to ONE convolution
     whose contraction is 4*C_in (the MXU mapping it exists for)."""
