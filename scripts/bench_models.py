@@ -34,27 +34,12 @@ def timeit(f, *a, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
-def build(version, cfg, params, calib):
-    if version == "slim_yolo_v2":
-        from yolo_tpu.quant.int8_graph import (
-            make_int8_detect_fn, quantize_pipeline)
-        return make_int8_detect_fn(quantize_pipeline(params, cfg, calib),
-                                   cfg)
-    if version == "yolo_v2":
-        from yolo_tpu.quant.int8_models import (
-            make_int8_yolo_v2_detect_fn, quantize_pipeline_yolo_v2)
-        return make_int8_yolo_v2_detect_fn(
-            quantize_pipeline_yolo_v2(params, cfg, calib), cfg)
-    if version == "tiny_yolo_v3":
-        from yolo_tpu.quant.int8_models import (
-            make_int8_tiny_detect_fn, quantize_pipeline_tiny)
-        return make_int8_tiny_detect_fn(
-            quantize_pipeline_tiny(params, cfg, calib), cfg)
-    from yolo_tpu.quant.int8_yolo_v3 import (
-        make_int8_yolo_v3_detect_fn, quantize_pipeline_yolo_v3)
-    return make_int8_yolo_v3_detect_fn(
-        quantize_pipeline_yolo_v3(params, cfg, calib,
-                                  spp=version.endswith("_spp")), cfg)
+def build(version, cfg, params, calib, input_mode="f32"):
+    """(int8_model, detect_fn) via the family dispatch; input_mode
+    f32 | int8 (host-quantized) | s2d (padded space-to-depth layout)."""
+    from yolo_tpu.quant.dispatch import build_int8_detector
+    return build_int8_detector(version, params, cfg, calib,
+                               input_s2d=(input_mode == "s2d"))
 
 
 # per-image GFLOPs of the conv stack at 416² (XLA cost analysis via
@@ -64,30 +49,40 @@ _GFLOPS_416 = {"slim_yolo_v2": 4.93, "yolo_v2": 29.4, "tiny_yolo_v3": 5.5,
 _INT8_PEAK_TOPS = 394.0
 
 
-def measure(version, size, batch, rng, iters=20):
+def measure(version, size, batch, rng, iters=20, input_mode="f32"):
+    from yolo_tpu.quant import fixed_point as fp
+    from yolo_tpu.quant.dispatch import input_scale_exponent
+
     cfg = get_config(version, "mask", input_size=(size, size),
                      pre_nms_top_k=128)
     det = Detector(cfg)
     params = det.init_params(jax.random.PRNGKey(0))
     calib = [rng.random((4, size, size, 3), dtype=np.float32)]
-    detect = build(version, cfg, params, calib)
-    images = jax.device_put(rng.random((batch, size, size, 3),
-                                       dtype=np.float32))
+    m, detect = build(version, cfg, params, calib, input_mode)
+    images = rng.random((batch, size, size, 3), dtype=np.float32)
+    if input_mode in ("int8", "s2d"):
+        sa = input_scale_exponent(m)
+        images = np.clip(np.rint(images * 2.0 ** sa), -128, 127
+                         ).astype(np.int8)
+        if input_mode == "s2d":
+            images = fp.s2d_input_np(images)
+    images = jax.device_put(images)
     t = timeit(detect, images, iters=iters)
     gf = _GFLOPS_416.get(version, 0.0) * (size / 416) ** 2
     mfu = (batch / t) * gf / 1e3 / _INT8_PEAK_TOPS
-    print(f"{version:14s} INT8 @{size}² b{batch:3d}: {t*1e3:7.2f} ms  "
-          f"{batch/t:8.0f} img/s   MFU {mfu*100:4.1f}%", flush=True)
+    print(f"{version:14s} INT8/{input_mode:4s} @{size}² b{batch:3d}: "
+          f"{t*1e3:7.2f} ms  {batch/t:8.0f} img/s   MFU {mfu*100:4.1f}%",
+          flush=True)
     return batch / t
 
 
-def main(size=416, batches=(64,), versions=None):
+def main(size=416, batches=(64,), versions=None, input_mode="f32"):
     rng = np.random.default_rng(0)
     versions = versions or ("slim_yolo_v2", "yolo_v2", "tiny_yolo_v3",
                             "yolo_v3", "yolo_v3_spp")
     for version in versions:
         for batch in batches:
-            measure(version, size, batch, rng)
+            measure(version, size, batch, rng, input_mode=input_mode)
 
 
 if __name__ == "__main__":
@@ -95,5 +90,7 @@ if __name__ == "__main__":
     p.add_argument("--size", type=int, default=416)
     p.add_argument("--batch", type=int, nargs="+", default=[64])
     p.add_argument("--versions", nargs="+", default=None)
+    p.add_argument("--input", default="f32",
+                   choices=["f32", "int8", "s2d"])
     a = p.parse_args()
-    main(a.size, tuple(a.batch), a.versions)
+    main(a.size, tuple(a.batch), a.versions, a.input)

@@ -72,6 +72,52 @@ def test_int8_input_modes_bit_exact(rng):
         np.testing.assert_array_equal(w, a)
 
 
+def test_s2d_entry_slice_matches_odd_layout(rng):
+    """The odd-aligned entry-pair layout is an exact block-slice of the
+    serving s2d layout (one host layout feeds every family)."""
+    import jax.numpy as jnp
+
+    from yolo_tpu.quant import fixed_point as fp
+
+    x = rng.integers(-128, 128, (2, 16, 20, 3)).astype(np.int8)
+    served = fp.s2d_input_np(x)
+    odd = np.asarray(fp._s2d_blocks(
+        jnp.pad(jnp.asarray(x), ((0, 0), (1, 1), (1, 1), (0, 0)))))
+    np.testing.assert_array_equal(
+        np.asarray(fp.s2d_entry_from_input(served)), odd)
+
+
+@pytest.mark.parametrize("version", ["tiny_yolo_v3", "yolo_v2", "yolo_v3"])
+def test_int8_input_modes_bit_exact_families(rng, version):
+    """Every family's integer engine accepts f32 / host-int8 / s2d-layout
+    input with bit-identical outputs (tiny/v2: fused MXU conv1+pool;
+    v3: the entry pair consumes the layout directly)."""
+    import jax
+
+    from yolo_tpu.detector import Detector
+    from yolo_tpu.quant import fixed_point as fp
+    from yolo_tpu.quant.dispatch import (build_int8_detector,
+                                         input_scale_exponent)
+
+    cfg = get_config(version, "mask", input_size=(64, 64))
+    params = Detector(cfg).init_params(jax.random.PRNGKey(0))
+    batches = [rng.random((2, 64, 64, 3), dtype=np.float32)]
+    m, det_f32 = build_int8_detector(version, params, cfg, batches)
+    _, det_s2d = build_int8_detector(version, params, cfg, batches,
+                                     input_s2d=True)
+    imgs = batches[0]
+    x_q = np.asarray(fp.quantize_input(imgs, input_scale_exponent(m)))
+
+    want = [np.asarray(a) for a in det_f32(imgs)]
+    got_i8 = [np.asarray(a) for a in det_f32(x_q)]
+    got_s2d = [np.asarray(a) for a in det_s2d(fp.s2d_input_np(x_q))]
+    got_f32_s2d = [np.asarray(a) for a in det_s2d(imgs)]
+    for w, a, b, c in zip(want, got_i8, got_s2d, got_f32_s2d):
+        np.testing.assert_array_equal(w, a)
+        np.testing.assert_array_equal(w, b)
+        np.testing.assert_array_equal(w, c)
+
+
 def test_streaming_detector_s2d_preprocess(rng):
     """StreamingDetector(s2d=True) hands the detect fn the padded s2d
     int8 layout (numpy fallback path)."""

@@ -108,6 +108,23 @@ def test_multi_scale_sizes():
     assert all(h % 32 == 0 for h, _ in sizes)
 
 
+def test_resize_batch_stays_on_device(rng):
+    """-ms bucket resize returns a device array (no host round-trip per
+    iteration) with jax.image.resize values."""
+    import jax
+
+    from yolo_tpu.cli.train import _resize_batch
+
+    imgs = rng.random((2, 16, 16, 3)).astype(np.float32)
+    out = _resize_batch(imgs, (32, 32))
+    assert isinstance(out, jax.Array)
+    want = jax.image.resize(imgs, (2, 32, 32, 3), method="bilinear")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-6)
+    # same-size batches pass through untouched
+    assert _resize_batch(imgs, (16, 16)) is imgs
+
+
 def test_bf16_mixed_precision_step(rng):
     """bf16 compute with fp32 master params: loss close to the fp32
     step's, params stay fp32, training still descends."""

@@ -28,6 +28,11 @@ def parse_args(argv=None):
                         help="synthetic | video path | camera index")
     parser.add_argument("--fp32", action="store_true", default=False,
                         help="serve the FP32 graph instead of INT8")
+    parser.add_argument("--input", default="s2d",
+                        choices=["s2d", "int8", "f32"],
+                        help="host->device input mode: s2d (int8 in the "
+                        "padded space-to-depth layout, fastest), int8 "
+                        "(host-quantized NHWC), f32 (quantize in-graph)")
     return parser.parse_args(argv)
 
 
@@ -66,23 +71,20 @@ def main(args=None):
     import jax
 
     sa_in = None
+    s2d = False
     if args.fp32:
         from yolo_tpu.cli.eval import load_params
         from yolo_tpu.detector import Detector
         det = Detector(cfg)
         params = load_params(args, det)
         detect = lambda im: det.detect(params, im)  # noqa: E731
-    elif args.version in ("slim_yolo_v2", "slim_yolo_v2_q_bf"):
-        from yolo_tpu.quant.int8_graph import build_int8_detect
-        params = _trained_or_none(args, cfg)
-        fn, m = build_int8_detect(cfg, params_fp32=params)
-        detect = lambda im: fn(None, im)  # noqa: E731
-        sa_in = m.sa["in"]  # slim's graph accepts host-quantized int8
     else:
-        # every other family through its own true-integer engine
-        # (quant/dispatch.py); these detect fns take float32 input
+        # every family through its own true-integer engine
+        # (quant/dispatch.py); all detect fns take float32,
+        # host-quantized int8, or the s2d serving layout
         from yolo_tpu.detector import Detector
-        from yolo_tpu.quant.dispatch import build_int8_detector
+        from yolo_tpu.quant.dispatch import (build_int8_detector,
+                                             input_scale_exponent)
         params = _trained_or_none(args, cfg)
         if params is None:
             params = Detector(cfg).init_params(jax.random.PRNGKey(0))
@@ -90,12 +92,17 @@ def main(args=None):
         h, w = cfg.input_size
         calib = [rng.random((8, h, w, 3), dtype=np.float32)
                  for _ in range(4)]
-        _, detect = build_int8_detector(args.version, params, cfg, calib)
+        s2d = args.input == "s2d"
+        m, detect = build_int8_detector(args.version, params, cfg, calib,
+                                        input_s2d=s2d)
+        if args.input in ("s2d", "int8"):
+            sa_in = input_scale_exponent(m)
     sd = StreamingDetector(cfg, detect, batch_size=args.batch,
-                           sa_in=sa_in)
+                           sa_in=sa_in, s2d=s2d)
     frames = _frames(args, cfg, args.batch)
     print(f"native preprocess: {sd._native is not None}; "
-          f"host-side int8 quantize: {sa_in is not None}")
+          f"host-side int8 quantize: {sa_in is not None}; "
+          f"s2d input layout: {s2d}")
 
     results = sd.detect_frames(frames[:4])
     for i, (boxes, scores, classes) in enumerate(results):

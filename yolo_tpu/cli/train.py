@@ -23,15 +23,25 @@ from yolo_tpu.train.trainer import (
 from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
 
+_resize_jits = {}
+
+
 def _resize_batch(images: np.ndarray, size):
     """Bilinear resize of an NHWC batch to a multi-scale bucket (the
-    reference uses F.interpolate on device, train.py:293)."""
-    import jax.numpy as jnp
-    b, _, _, c = images.shape
+    reference uses F.interpolate on device, train.py:293).
+
+    Returns a DEVICE array (one cached jit per shape pair): the batch
+    stays on device between the resize and the train step instead of
+    round-tripping through host memory every -ms iteration."""
     if images.shape[1:3] == tuple(size):
         return images
-    return np.asarray(jax.image.resize(
-        jnp.asarray(images), (b, size[0], size[1], c), method="bilinear"))
+    key = (images.shape, tuple(size))
+    if key not in _resize_jits:
+        b, _, _, c = images.shape
+        out_shape = (b, size[0], size[1], c)
+        _resize_jits[key] = jax.jit(lambda x: jax.image.resize(
+            x, out_shape, method="bilinear"))
+    return _resize_jits[key](images)
 
 
 def parse_args(argv=None):

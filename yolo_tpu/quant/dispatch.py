@@ -72,14 +72,16 @@ def build_int8_detector(version: str, params_fp32, cfg: DetectorConfig,
         m = quantize_pipeline_tiny(params_fp32, cfg, calib_batches,
                                    max_images=max_images,
                                    head_clip=head_clip)
-        return m, make_int8_tiny_detect_fn(m, cfg, rounding=rounding)
+        return m, make_int8_tiny_detect_fn(m, cfg, rounding=rounding,
+                                           **maker_kwargs)
     if family == "v2":
         from yolo_tpu.quant.int8_models import (
             make_int8_yolo_v2_detect_fn, quantize_pipeline_yolo_v2)
         m = quantize_pipeline_yolo_v2(params_fp32, cfg, calib_batches,
                                       max_images=max_images,
                                       head_clip=head_clip)
-        return m, make_int8_yolo_v2_detect_fn(m, cfg, rounding=rounding)
+        return m, make_int8_yolo_v2_detect_fn(m, cfg, rounding=rounding,
+                                              **maker_kwargs)
     # v3 / v3_spp
     from yolo_tpu.quant.int8_yolo_v3 import (
         make_int8_yolo_v3_detect_fn, quantize_pipeline_yolo_v3)
@@ -87,4 +89,15 @@ def build_int8_detector(version: str, params_fp32, cfg: DetectorConfig,
                                   spp=(family == "v3_spp"),
                                   max_images=max_images,
                                   head_clip=head_clip)
-    return m, make_int8_yolo_v3_detect_fn(m, cfg, rounding=rounding)
+    return m, make_int8_yolo_v3_detect_fn(m, cfg, rounding=rounding,
+                                          **maker_kwargs)
+
+
+def input_scale_exponent(int8_model) -> int:
+    """The input activation scale exponent sa_in of any family's integer
+    model — what the host-side quantizer (native preprocess int8_scale)
+    must use so the graph's int8 input matches bit-exactly."""
+    sa = getattr(int8_model, "sa_in", None)
+    if sa is not None:
+        return int(sa)
+    return int(int8_model.sa["in"])

@@ -476,8 +476,25 @@ def int8_conv_stride2_s2d(x_q, w_q, b_q, *, sw: int, sb: int, sa_in: int,
                     retune=retune, leaky=leaky, rounding=rounding)
 
 
+def s2d_entry_from_input(x2: jnp.ndarray) -> jnp.ndarray:
+    """Serving s2d layout [B,H/2+3,W/2+3,4C] (s2d_input / native
+    layout='s2d') -> the odd-aligned entry-pair layout [B,H/2+1,W/2+1,4C]
+    that int8_entry_pair_s2d consumes (``_s2d_blocks(pad1(x))``).
+
+    Block algebra: serving block k holds original rows (2k-3, 2k-2)
+    (pad 3), the odd-aligned block m holds rows (2m-1, 2m) (pad 1) —
+    identical content at k = m+1, and the pad-3 zeros cover the pad-1
+    zeros exactly, so the slice [1:-1] converts losslessly. One host
+    layout therefore feeds BOTH the pooled conv1 form (slim/tiny/v2) and
+    the darknet entry pair (v3): the preprocessor never needs to know the
+    model family.
+    """
+    return x2[:, 1:-1, 1:-1, :]
+
+
 def int8_entry_pair_s2d(x_q, w1, b1, p1: dict, w2, b2, p2: dict,
-                        rounding: str = "nearest") -> jnp.ndarray:
+                        rounding: str = "nearest",
+                        pre_s2d: bool = False) -> jnp.ndarray:
     """Fused darknet entry: conv1 (3x3 s1 p1 leaky) + conv2 (3x3 s2 p1
     leaky), both as MXU block convs, the intermediate staying in
     phase-packed s2d layout (never depth-to-space'd).
@@ -487,19 +504,27 @@ def int8_entry_pair_s2d(x_q, w1, b1, p1: dict, w2, b2, p2: dict,
     int_conv_requant pair: the phase-packed intermediate holds exactly
     the requantized y values, and conv2's zero padding is the s2d zero
     block pad.
+
+    ``pre_s2d``: ``x_q`` is already the odd-aligned block layout
+    [B, H/2+1, W/2+1, 4*C] (s2d_entry_from_input of a host-provided
+    serving layout) — the relayout costs nothing on device.
     """
-    b, h, w, c = x_q.shape
-    if h % 2 or w % 2:
-        raise ValueError("entry pair requires even H, W")
-    c1 = w1.shape[-1]
-    xp = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    x2 = _s2d_blocks(xp)                       # odd-aligned blocks
+    if pre_s2d:
+        x2 = x_q
+        h2, w2_ = x2.shape[1] - 1, x2.shape[2] - 1
+    else:
+        b, h, w, c = x_q.shape
+        if h % 2 or w % 2:
+            raise ValueError("entry pair requires even H, W")
+        xp = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        x2 = _s2d_blocks(xp)                   # odd-aligned blocks
+        h2, w2_ = h // 2, w // 2
     acc1 = _block_conv(x2, _s2_block_weights(np.asarray(w1), True))
     y2 = _requant(acc1, jnp.tile(b1.astype(jnp.int32), 4),
                   leaky=True, rounding=rounding, **p1)  # [B,h/2,w/2,4*c1]
     y2p = jnp.pad(y2, ((0, 0), (1, 1), (1, 1), (0, 0)))
     acc2 = _block_conv(y2p, _even_block_weights(np.asarray(w2)))
-    acc2 = acc2[:, :h // 2, :w // 2]
+    acc2 = acc2[:, :h2, :w2_]
     return _requant(acc2, b2, leaky=True, rounding=rounding, **p2)
 
 

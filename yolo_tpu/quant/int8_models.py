@@ -105,9 +105,16 @@ def quantize_tiny_yolo_v3(fused, tracker_states: List[dict],
 
 
 def int8_tiny_forward(m: Int8Tiny, x_q: jnp.ndarray,
-                      rounding: str = "nearest"):
+                      rounding: str = "nearest",
+                      input_s2d: bool = False):
     """int8 input -> [pred_1, pred_2] float heads (s16, s32 order,
-    matching models/tiny_yolo_v3.forward)."""
+    matching models/tiny_yolo_v3.forward).
+
+    ``input_s2d``: ``x_q`` is the padded space-to-depth serving layout
+    (fp.s2d_input / native layout='s2d'); conv_1 + its maxpool execute
+    as ONE fused MXU block conv at pooled resolution (bit-exact —
+    fp.int8_conv_pool_s2d_core), the same entry form the slim engine
+    uses (docs/PERFORMANCE.md round 3)."""
 
     def conv(name, x, leaky=True, sa_in=None):
         return fp.int_conv_requant(
@@ -115,8 +122,14 @@ def int8_tiny_forward(m: Int8Tiny, x_q: jnp.ndarray,
             sa_in=sa_in, sa_out=m.sa[name], retune=m.retune[name],
             padding=_TINY_SPATIAL[name], leaky=leaky, rounding=rounding)
 
-    out = x_q
-    out = fp.int_maxpool(conv("conv_1", out, sa_in=m.sa["in"]))
+    if input_s2d:
+        out = fp.int8_conv_pool_s2d_core(
+            x_q, m.w_q["conv_1"], m.b_q["conv_1"], c_in=3,
+            sw=m.sw["conv_1"], sb=m.sb["conv_1"], sa_in=m.sa["in"],
+            sa_out=m.sa["conv_1"], retune=m.retune["conv_1"],
+            rounding=rounding)
+    else:
+        out = fp.int_maxpool(conv("conv_1", x_q, sa_in=m.sa["in"]))
     out = fp.int_maxpool(conv("conv_2", out, sa_in=m.sa["conv_1"]))
     out = fp.int_maxpool(conv("conv_3", out, sa_in=m.sa["conv_2"]))
     out = fp.int_maxpool(conv("conv_4", out, sa_in=m.sa["conv_3"]))
@@ -175,8 +188,15 @@ def quantize_pipeline_tiny(params_fp32, cfg: DetectorConfig,
 
 
 def make_int8_tiny_detect_fn(m: Int8Tiny, cfg: DetectorConfig,
-                             rounding: str = "nearest"):
-    """Jitted end-to-end int8 tiny_yolo_v3 detector."""
+                             rounding: str = "nearest",
+                             input_s2d: bool = False):
+    """Jitted end-to-end int8 tiny_yolo_v3 detector.
+
+    Accepts float32 input (quantized in-graph) or int8 at scale
+    2^sa['in'] — with ``input_s2d``, int8 input must be the padded
+    space-to-depth serving layout (4x less host->device traffic AND the
+    fused MXU conv_1+pool; float input still works, the transform then
+    runs on device)."""
     from yolo_tpu import detector as D
     from yolo_tpu.ops import nms
 
@@ -186,8 +206,14 @@ def make_int8_tiny_detect_fn(m: Int8Tiny, cfg: DetectorConfig,
         @staticmethod
         def forward(p, x, cfg, train=False):
             assert not train
-            return int8_tiny_forward(m, fp.quantize_input(x, m.sa["in"]),
-                                     rounding)
+            if x.dtype == jnp.int8:
+                x_q = x
+            else:
+                x_q = fp.quantize_input(x, m.sa["in"])
+                if input_s2d:
+                    x_q = fp.s2d_input(x_q)
+            return int8_tiny_forward(m, x_q, rounding,
+                                     input_s2d=input_s2d)
 
     @jax.jit
     def detect(images):
@@ -270,9 +296,14 @@ def quantize_yolo_v2(fused, tracker_states: List[dict],
 
 
 def int8_yolo_v2_forward(m: Int8YoloV2, x_q: jnp.ndarray,
-                         rounding: str = "nearest"):
+                         rounding: str = "nearest",
+                         input_s2d: bool = False):
     """int8 input -> [pred] float head (stride 32), the integer version
-    of models/yolo_v2.forward incl. the reorg passthrough concat."""
+    of models/yolo_v2.forward incl. the reorg passthrough concat.
+
+    ``input_s2d``: ``x_q`` is the padded space-to-depth serving layout;
+    conv_1.0 + its maxpool run as ONE fused MXU block conv at pooled
+    resolution (bit-exact, same entry form as slim/tiny)."""
     from yolo_tpu.ops import blocks
 
     def conv(name, x, sa_in, leaky=True):
@@ -288,9 +319,16 @@ def int8_yolo_v2_forward(m: Int8YoloV2, x_q: jnp.ndarray,
             prev = name
         return x, prev
 
-    out, prev = x_q, "in"
-    out, prev = run_seq_int("conv_1", 1, out, prev)
-    out = fp.int_maxpool(out)
+    if input_s2d:
+        out = fp.int8_conv_pool_s2d_core(
+            x_q, m.w_q["conv_1.0"], m.b_q["conv_1.0"], c_in=3,
+            sw=m.sw["conv_1.0"], sb=m.sb["conv_1.0"], sa_in=m.sa["in"],
+            sa_out=m.sa["conv_1.0"], retune=m.retune["conv_1.0"],
+            rounding=rounding)
+        prev = "conv_1.0"
+    else:
+        out, prev = run_seq_int("conv_1", 1, x_q, "in")
+        out = fp.int_maxpool(out)
     out, prev = run_seq_int("conv_2", 1, out, prev)
     out = fp.int_maxpool(out)
     out, prev = run_seq_int("conv_3", 3, out, prev)
@@ -343,8 +381,13 @@ def quantize_pipeline_yolo_v2(params_fp32, cfg: DetectorConfig,
 
 
 def make_int8_yolo_v2_detect_fn(m: Int8YoloV2, cfg: DetectorConfig,
-                                rounding: str = "nearest"):
-    """Jitted end-to-end int8 yolo_v2 detector."""
+                                rounding: str = "nearest",
+                                input_s2d: bool = False):
+    """Jitted end-to-end int8 yolo_v2 detector.
+
+    Accepts float32 input (quantized in-graph) or int8 at scale
+    2^sa['in'] — with ``input_s2d``, int8 input must be the padded
+    space-to-depth serving layout (see make_int8_tiny_detect_fn)."""
     from yolo_tpu import detector as D
     from yolo_tpu.ops import nms
 
@@ -354,8 +397,14 @@ def make_int8_yolo_v2_detect_fn(m: Int8YoloV2, cfg: DetectorConfig,
         @staticmethod
         def forward(p, x, cfg, train=False):
             assert not train
-            return int8_yolo_v2_forward(
-                m, fp.quantize_input(x, m.sa["in"]), rounding)
+            if x.dtype == jnp.int8:
+                x_q = x
+            else:
+                x_q = fp.quantize_input(x, m.sa["in"])
+                if input_s2d:
+                    x_q = fp.s2d_input(x_q)
+            return int8_yolo_v2_forward(m, x_q, rounding,
+                                        input_s2d=input_s2d)
 
     @jax.jit
     def detect(images):

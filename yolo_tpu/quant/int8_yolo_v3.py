@@ -142,7 +142,8 @@ def quantize_yolo_v3(fused, tracker_states: List[dict],
 
 def int8_yolo_v3_forward(m: Int8YoloV3, x_q: jnp.ndarray,
                          rounding: str = "nearest",
-                         s2d="entry", limit: int = None):
+                         s2d="entry", limit: int = None,
+                         input_s2d: bool = False):
     """int8 input -> [pred_1, pred_2, pred_3] float heads (s8,16,32).
 
     ``s2d``: space-to-depth execution of the stride-2 structure —
@@ -159,8 +160,20 @@ def int8_yolo_v3_forward(m: Int8YoloV3, x_q: jnp.ndarray,
     list of live int8 tensors (stream/slots/res stack) — the prefix-
     graph attribution hook (scripts/profile_v3.py); None = full forward.
     """
-    s2d_entry = s2d in (True, "entry")
+    s2d_entry = s2d in (True, "entry") or input_s2d
     s2d_stride2 = s2d in (True, "stride2")
+    if input_s2d:
+        # x_q is the padded serving s2d layout (fp.s2d_input / native
+        # layout='s2d'); the entry pair consumes its odd-aligned
+        # block-slice directly — zero on-device relayout. Requires the
+        # darknet conv1+conv2 entry (all v3-family programs have it).
+        p0, p1_ = m.program[0], m.program[1]
+        if not (p0[0] == "conv" and p0[2] == 1 and p0[3] == 1 and p0[4]
+                and p1_[0] == "conv" and p1_[2] == 2 and p1_[3] == 1
+                and p1_[4]):
+            raise ValueError("input_s2d requires the darknet "
+                             "conv1+conv2 entry pair")
+        x_q = fp.s2d_entry_from_input(x_q)
     stream = (x_q, m.sa_in)     # (int8 array or parts-list, scale)
     slots: Dict[str, Tuple] = {}
     res_stack: List[Tuple] = []
@@ -194,7 +207,7 @@ def int8_yolo_v3_forward(m: Int8YoloV3, x_q: jnp.ndarray,
                 out = fp.int8_entry_pair_s2d(
                     x, m.w_q[conv_i], m.b_q[conv_i], p1,
                     m.w_q[conv_i + 1], m.b_q[conv_i + 1], p2,
-                    rounding=rounding)
+                    rounding=rounding, pre_s2d=input_s2d)
                 stream = (out, sa_out2)
                 tap_i += 2
                 conv_i += 2
@@ -313,7 +326,13 @@ def quantize_pipeline_yolo_v3(params_fp32, cfg: DetectorConfig,
 
 def make_int8_yolo_v3_detect_fn(m: Int8YoloV3, cfg: DetectorConfig,
                                 rounding: str = "nearest",
-                                s2d="entry"):
+                                s2d="entry", input_s2d: bool = False):
+    """Jitted end-to-end int8 yolo_v3 detector.
+
+    Accepts float32 input (quantized in-graph) or int8 at scale
+    2^sa_in — with ``input_s2d``, int8 input must be the padded
+    space-to-depth serving layout (fp.s2d_input / native layout='s2d');
+    the darknet entry pair then consumes the transfer directly."""
     from yolo_tpu import detector as D
     from yolo_tpu.ops import nms
 
@@ -323,9 +342,14 @@ def make_int8_yolo_v3_detect_fn(m: Int8YoloV3, cfg: DetectorConfig,
         @staticmethod
         def forward(p, x, cfg, train=False):
             assert not train
-            x_q = x if x.dtype == jnp.int8 else fp.quantize_input(
-                x, m.sa_in)
-            return int8_yolo_v3_forward(m, x_q, rounding, s2d=s2d)
+            if x.dtype == jnp.int8:
+                x_q = x
+            else:
+                x_q = fp.quantize_input(x, m.sa_in)
+                if input_s2d:
+                    x_q = fp.s2d_input(x_q)
+            return int8_yolo_v3_forward(m, x_q, rounding, s2d=s2d,
+                                        input_s2d=input_s2d)
 
     @jax.jit
     def detect(images):
