@@ -56,3 +56,25 @@ def test_spatial_sharded_int8_graph_bit_exact(setup):
     got = [np.asarray(a) for a in detect_sh(shard_batch(mesh, images))]
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+@pytest.mark.parametrize("version", ["tiny_yolo_v3", "yolo_v3"])
+def test_data_sharded_family_detect_bit_exact(version):
+    """Multi-chip serving for the non-slim families: batch-sharded
+    detect over a 'data' mesh is bit-exact with single-device (weights
+    replicate; each device runs its batch slice)."""
+    from yolo_tpu.quant.dispatch import build_int8_detector
+
+    cfg = get_config(version, "mask", input_size=(64, 64))
+    params = Detector(cfg).init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    images = rng.random((8, 64, 64, 3), dtype=np.float32)
+    m, detect = build_int8_detector(version, params, cfg, [images[:2]])
+    want = [np.asarray(a) for a in detect(images)]
+
+    mesh = make_mesh(data=8, space=1)
+    _, detect_sh = build_int8_detector(version, params, cfg,
+                                       [images[:2]], mesh=mesh)
+    got = [np.asarray(a) for a in detect_sh(shard_batch(mesh, images))]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)

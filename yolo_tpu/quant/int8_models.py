@@ -187,16 +187,30 @@ def quantize_pipeline_tiny(params_fp32, cfg: DetectorConfig,
     return quantize_tiny_yolo_v3(fused, states, agg)
 
 
+def _jit_detect(body, mesh):
+    """jit a detect body; with a mesh, shard the batch over 'data'
+    (multi-chip serving: weights replicate as jit constants, each chip
+    runs its batch slice through conv+decode+NMS — same contract as
+    int8_graph.make_int8_detect_fn)."""
+    if mesh is None:
+        return jax.jit(body)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(body, in_shardings=batch_sh,
+                   out_shardings=(batch_sh,) * 4)
+
+
 def make_int8_tiny_detect_fn(m: Int8Tiny, cfg: DetectorConfig,
                              rounding: str = "nearest",
-                             input_s2d: bool = False):
+                             input_s2d: bool = False, mesh=None):
     """Jitted end-to-end int8 tiny_yolo_v3 detector.
 
     Accepts float32 input (quantized in-graph) or int8 at scale
     2^sa['in'] — with ``input_s2d``, int8 input must be the padded
     space-to-depth serving layout (4x less host->device traffic AND the
     fused MXU conv_1+pool; float input still works, the transform then
-    runs on device)."""
+    runs on device). With ``mesh`` the batch shards over 'data'."""
     from yolo_tpu import detector as D
     from yolo_tpu.ops import nms
 
@@ -215,14 +229,13 @@ def make_int8_tiny_detect_fn(m: Int8Tiny, cfg: DetectorConfig,
             return int8_tiny_forward(m, x_q, rounding,
                                      input_s2d=input_s2d)
 
-    @jax.jit
     def detect(images):
         boxes, probs = D.predict(_Mod, None, images, cfg)
         return nms.batched_postprocess(
             boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
             cfg.pre_nms_top_k, cfg.top_k)
 
-    return detect
+    return _jit_detect(detect, mesh)
 
 
 # ---------------------------------------------------------------------------
@@ -382,12 +395,13 @@ def quantize_pipeline_yolo_v2(params_fp32, cfg: DetectorConfig,
 
 def make_int8_yolo_v2_detect_fn(m: Int8YoloV2, cfg: DetectorConfig,
                                 rounding: str = "nearest",
-                                input_s2d: bool = False):
+                                input_s2d: bool = False, mesh=None):
     """Jitted end-to-end int8 yolo_v2 detector.
 
     Accepts float32 input (quantized in-graph) or int8 at scale
     2^sa['in'] — with ``input_s2d``, int8 input must be the padded
-    space-to-depth serving layout (see make_int8_tiny_detect_fn)."""
+    space-to-depth serving layout (see make_int8_tiny_detect_fn).
+    With ``mesh`` the batch shards over 'data'."""
     from yolo_tpu import detector as D
     from yolo_tpu.ops import nms
 
@@ -406,11 +420,10 @@ def make_int8_yolo_v2_detect_fn(m: Int8YoloV2, cfg: DetectorConfig,
             return int8_yolo_v2_forward(m, x_q, rounding,
                                         input_s2d=input_s2d)
 
-    @jax.jit
     def detect(images):
         boxes, probs = D.predict(_Mod, None, images, cfg)
         return nms.batched_postprocess(
             boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
             cfg.pre_nms_top_k, cfg.top_k)
 
-    return detect
+    return _jit_detect(detect, mesh)

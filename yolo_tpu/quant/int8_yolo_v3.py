@@ -326,15 +326,18 @@ def quantize_pipeline_yolo_v3(params_fp32, cfg: DetectorConfig,
 
 def make_int8_yolo_v3_detect_fn(m: Int8YoloV3, cfg: DetectorConfig,
                                 rounding: str = "nearest",
-                                s2d="entry", input_s2d: bool = False):
+                                s2d="entry", input_s2d: bool = False,
+                                mesh=None):
     """Jitted end-to-end int8 yolo_v3 detector.
 
     Accepts float32 input (quantized in-graph) or int8 at scale
     2^sa_in — with ``input_s2d``, int8 input must be the padded
     space-to-depth serving layout (fp.s2d_input / native layout='s2d');
-    the darknet entry pair then consumes the transfer directly."""
+    the darknet entry pair then consumes the transfer directly.
+    With ``mesh`` the batch shards over 'data' (multi-chip serving)."""
     from yolo_tpu import detector as D
     from yolo_tpu.ops import nms
+    from yolo_tpu.quant.int8_models import _jit_detect
 
     class _Mod:
         STRIDES = (8, 16, 32)
@@ -351,11 +354,10 @@ def make_int8_yolo_v3_detect_fn(m: Int8YoloV3, cfg: DetectorConfig,
             return int8_yolo_v3_forward(m, x_q, rounding, s2d=s2d,
                                         input_s2d=input_s2d)
 
-    @jax.jit
     def detect(images):
         boxes, probs = D.predict(_Mod, None, images, cfg)
         return nms.batched_postprocess(
             boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
             cfg.pre_nms_top_k, cfg.top_k)
 
-    return detect
+    return _jit_detect(detect, mesh)
