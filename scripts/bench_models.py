@@ -50,16 +50,19 @@ _INT8_PEAK_TOPS = 394.0
 
 
 def measure(version, size, batch, rng, iters=20, input_mode="f32"):
+    """``size``: int (square) or (H, W) — e.g. (240, 320), the
+    reference's camera deployment shape (c_embedding/main.c:44)."""
     from yolo_tpu.quant import fixed_point as fp
     from yolo_tpu.quant.dispatch import input_scale_exponent
 
-    cfg = get_config(version, "mask", input_size=(size, size),
+    h, w = (size, size) if isinstance(size, int) else size
+    cfg = get_config(version, "mask", input_size=(h, w),
                      pre_nms_top_k=128)
     det = Detector(cfg)
     params = det.init_params(jax.random.PRNGKey(0))
-    calib = [rng.random((4, size, size, 3), dtype=np.float32)]
+    calib = [rng.random((4, h, w, 3), dtype=np.float32)]
     m, detect = build(version, cfg, params, calib, input_mode)
-    images = rng.random((batch, size, size, 3), dtype=np.float32)
+    images = rng.random((batch, h, w, 3), dtype=np.float32)
     if input_mode in ("int8", "s2d"):
         sa = input_scale_exponent(m)
         images = np.clip(np.rint(images * 2.0 ** sa), -128, 127
@@ -68,9 +71,10 @@ def measure(version, size, batch, rng, iters=20, input_mode="f32"):
             images = fp.s2d_input_np(images)
     images = jax.device_put(images)
     t = timeit(detect, images, iters=iters)
-    gf = _GFLOPS_416.get(version, 0.0) * (size / 416) ** 2
+    gf = _GFLOPS_416.get(version, 0.0) * (h * w) / 416 ** 2
     mfu = (batch / t) * gf / 1e3 / _INT8_PEAK_TOPS
-    print(f"{version:14s} INT8/{input_mode:4s} @{size}² b{batch:3d}: "
+    shape = f"@{h}²" if h == w else f"@{h}x{w}"
+    print(f"{version:14s} INT8/{input_mode:4s} {shape} b{batch:3d}: "
           f"{t*1e3:7.2f} ms  {batch/t:8.0f} img/s   MFU {mfu*100:4.1f}%",
           flush=True)
     return batch / t
@@ -87,10 +91,13 @@ def main(size=416, batches=(64,), versions=None, input_mode="f32"):
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--size", type=int, default=416)
+    p.add_argument("--size", type=int, nargs="+", default=[416],
+                   help="square size, or H W (e.g. --size 240 320, the "
+                   "reference camera deployment shape)")
     p.add_argument("--batch", type=int, nargs="+", default=[64])
     p.add_argument("--versions", nargs="+", default=None)
     p.add_argument("--input", default="f32",
                    choices=["f32", "int8", "s2d"])
     a = p.parse_args()
-    main(a.size, tuple(a.batch), a.versions, a.input)
+    size = a.size[0] if len(a.size) == 1 else tuple(a.size[:2])
+    main(size, tuple(a.batch), a.versions, a.input)
