@@ -232,3 +232,35 @@ def test_streaming_detector_fixed_batch(rng):
     boxes, scores, classes = results[0]
     assert boxes.shape == (1, 4)
     np.testing.assert_allclose(boxes[0], [50, 25, 150, 75])  # px coords
+
+
+def test_serving_input_validation(rng):
+    """Mismatched input shapes raise a clear ValueError at first call
+    (not a broadcast error deep in decode) — for both NHWC and the s2d
+    serving layout, across the jitted family detect fns."""
+    import jax
+
+    from yolo_tpu.models import slim_yolo_v2
+    from yolo_tpu.quant import fixed_point as fp
+    from yolo_tpu.quant.int8_graph import (
+        make_int8_detect_fn, quantize_pipeline)
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    params = slim_yolo_v2.init_params(jax.random.PRNGKey(0), cfg,
+                                      batch_norm=True)
+    m = quantize_pipeline(params, cfg,
+                          [rng.random((2, 32, 32, 3), dtype=np.float32)])
+
+    detect = make_int8_detect_fn(m, cfg)
+    with pytest.raises(ValueError, match="built for input_size 32x32"):
+        detect(rng.random((2, 48, 48, 3), dtype=np.float32))
+    with pytest.raises(ValueError, match="batched"):
+        detect(rng.random((32, 32, 3), dtype=np.float32))
+
+    det_s2d = make_int8_detect_fn(m, cfg, input_s2d=True)
+    bad = rng.integers(-128, 128, (2, 32, 32, 3)).astype(np.int8)
+    with pytest.raises(ValueError, match="space-to-depth"):
+        det_s2d(bad)
+    # the correct s2d layout passes
+    good = fp.s2d_input_np(bad)
+    det_s2d(good)

@@ -171,6 +171,35 @@ def int8_conv_pool_s2d(x_q: jnp.ndarray, w_q, b_q, *, sw: int, sb: int,
         sa_out=sa_out, retune=retune, leaky=leaky, rounding=rounding)
 
 
+def check_serving_input(images, cfg, input_s2d: bool = False) -> None:
+    """Trace-time shape/dtype validation for the serving detect fns.
+
+    Raises a clear ValueError on the first call instead of letting a
+    mismatched input surface as a broadcast error deep in decode."""
+    h, w = cfg.input_size
+    if images.ndim != 4:
+        raise ValueError(
+            f"detect expects a batched [B, H, W, C] input; got shape "
+            f"{images.shape}")
+    if input_s2d and images.dtype == jnp.int8:
+        want = (h // 2 + 3, w // 2 + 3, 12)
+        if tuple(images.shape[1:]) != want:
+            raise ValueError(
+                f"int8 s2d input for input_size {h}x{w} must be "
+                f"[B, {want[0]}, {want[1]}, {want[2]}] (the padded "
+                f"space-to-depth layout from fp.s2d_input_np or the "
+                f"native preprocessor's layout='s2d'); got "
+                f"{tuple(images.shape)}. For plain NHWC input rebuild "
+                f"the detect fn without input_s2d.")
+        return
+    if tuple(images.shape[1:]) != (h, w, 3):
+        raise ValueError(
+            f"images are {tuple(images.shape[1:])} but this detect fn "
+            f"was built for input_size {h}x{w} (expected [B, {h}, {w}, "
+            f"3]); rebuild with cfg.with_input_size(...) or resize the "
+            f"batch")
+
+
 def s2d_input(x_q: jnp.ndarray) -> jnp.ndarray:
     """[B,H,W,C] int8 -> padded space-to-depth [B,H/2+3,W/2+3,4*C].
 

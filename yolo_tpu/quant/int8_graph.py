@@ -78,6 +78,7 @@ def make_int8_detect_fn(m: fp.Int8Model, cfg: DetectorConfig,
     through conv+decode+NMS, outputs stay batch-sharded."""
 
     def body(images):
+        fp.check_serving_input(images, cfg, input_s2d)
         boxes, probs = int8_predict(m, images, cfg, rounding, backend,
                                     s2d_layers, input_s2d)
         return nms.batched_postprocess(

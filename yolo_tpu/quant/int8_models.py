@@ -230,6 +230,7 @@ def make_int8_tiny_detect_fn(m: Int8Tiny, cfg: DetectorConfig,
                                      input_s2d=input_s2d)
 
     def detect(images):
+        fp.check_serving_input(images, cfg, input_s2d)
         boxes, probs = D.predict(_Mod, None, images, cfg)
         return nms.batched_postprocess(
             boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
@@ -421,6 +422,7 @@ def make_int8_yolo_v2_detect_fn(m: Int8YoloV2, cfg: DetectorConfig,
                                         input_s2d=input_s2d)
 
     def detect(images):
+        fp.check_serving_input(images, cfg, input_s2d)
         boxes, probs = D.predict(_Mod, None, images, cfg)
         return nms.batched_postprocess(
             boxes, probs, cfg.conf_thresh, cfg.nms_thresh,

@@ -355,6 +355,7 @@ def make_int8_yolo_v3_detect_fn(m: Int8YoloV3, cfg: DetectorConfig,
                                         input_s2d=input_s2d)
 
     def detect(images):
+        fp.check_serving_input(images, cfg, input_s2d)
         boxes, probs = D.predict(_Mod, None, images, cfg)
         return nms.batched_postprocess(
             boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
