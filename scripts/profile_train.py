@@ -100,27 +100,49 @@ def main():
     dt_gt = (time.perf_counter() - t0) / a.iters
 
     # -- host: loader (synthetic decode + SSD augmentation) -------------
-    from yolo_tpu.data.loader import BatchLoader
+    from yolo_tpu.data.loader import BatchLoader, prefetch_iter
     from yolo_tpu.data.synthetic import SyntheticDetection
     from yolo_tpu.data.transforms import SSDAugmentation
-    ds = SyntheticDetection(size=(a.size, a.size), num_classes=2,
-                            transform=SSDAugmentation((a.size, a.size)),
-                            length=4 * a.batch)
-    loader = BatchLoader(ds, a.batch, num_workers=8)
-    n, t0 = 0, time.perf_counter()
-    for _imgs, _tgts in loader:
-        n += 1
-    dt_load = (time.perf_counter() - t0) / max(n, 1)
 
-    # -- end-to-end loop (loader + GT + step, overlap as in cli.train) --
-    n, t0 = 0, time.perf_counter()
-    for imgs_b, tgts_b in loader:
-        g = build_targets(cfg, tgts_b)
-        params, opt_state, metrics = step(params, opt_state, imgs_b, g,
-                                          1e-4)
-        n += 1
-    jax.device_get(metrics["total_loss"])
-    dt_e2e = (time.perf_counter() - t0) / max(n, 1)
+    def make_loader(workers, u8):
+        ds = SyntheticDetection(
+            size=(a.size, a.size), num_classes=2,
+            transform=SSDAugmentation((a.size, a.size),
+                                      normalize=not u8),
+            length=4 * a.batch)
+        return BatchLoader(ds, a.batch, num_workers=8, workers=workers)
+
+    def time_loader(loader):
+        n, t0 = 0, time.perf_counter()
+        for _imgs, _tgts in loader:
+            n += 1
+        return (time.perf_counter() - t0) / max(n, 1)
+
+    dt_load = time_loader(make_loader("thread", u8=False))
+    dt_load_p = time_loader(make_loader("process", u8=False))
+    dt_load_pu8 = time_loader(make_loader("process", u8=True))
+
+    # -- end-to-end loops ------------------------------------------------
+    def run_e2e(loader, prefetch, p, o):
+        def prepare(batch):
+            imgs_b, tgts_b = batch
+            return (jax.device_put(imgs_b),
+                    jax.device_put(build_targets(cfg, tgts_b)))
+
+        it = (prefetch_iter(loader, prepare, depth=2) if prefetch
+              else map(prepare, iter(loader)))
+        n, t0 = 0, time.perf_counter()
+        m = None
+        for imgs_b, g in it:
+            p, o, m = step(p, o, imgs_b, g, 1e-4)
+            n += 1
+        jax.device_get(m["total_loss"])
+        return (time.perf_counter() - t0) / max(n, 1), p, o
+
+    dt_e2e, params, opt_state = run_e2e(
+        make_loader("thread", u8=False), False, params, opt_state)
+    dt_e2e_new, params, opt_state = run_e2e(
+        make_loader("process", u8=True), True, params, opt_state)
 
     gf = _GFLOPS_416.get(a.version, 0.0) * (a.size / 416) ** 2
     tflops = 3 * gf * a.batch / dt_step / 1e3
@@ -133,10 +155,15 @@ def main():
     print(f"  step + H2D transfer:           {dt_step_h*1e3:8.2f} ms  "
           f"(+{(dt_step_h-dt_step)*1e3:.2f} ms)")
     print(f"  host GT assignment:            {dt_gt*1e3:8.2f} ms")
-    print(f"  host loader (aug, 8 threads):  {dt_load*1e3:8.2f} ms")
-    print(f"  end-to-end loop:               {dt_e2e*1e3:8.2f} ms  "
+    print(f"  host loader (8 threads, f32):  {dt_load*1e3:8.2f} ms")
+    print(f"  host loader (8 procs, f32):    {dt_load_p*1e3:8.2f} ms")
+    print(f"  host loader (8 procs, uint8):  {dt_load_pu8*1e3:8.2f} ms")
+    print(f"  e2e loop (thread/f32/no-pf):   {dt_e2e*1e3:8.2f} ms  "
           f"{a.batch/dt_e2e:7.0f} img/s  "
           f"(overhead vs step {100*(dt_e2e/dt_step-1):.0f}%)")
+    print(f"  e2e loop (proc/uint8/prefetch):{dt_e2e_new*1e3:8.2f} ms  "
+          f"{a.batch/dt_e2e_new:7.0f} img/s  "
+          f"(overhead vs step {100*(dt_e2e_new/dt_step-1):.0f}%)")
 
 
 if __name__ == "__main__":

@@ -111,3 +111,54 @@ def test_batch_loader():
     assert images.shape == (4, 32, 32, 3)
     assert len(targets) == 4
     assert all(t.shape[1] == 5 for t in targets)
+
+
+def test_batch_loader_process_workers_deterministic():
+    """Process-mode loading: two fresh loaders with the same seed yield
+    identical batches (per-item transform reseeding makes augmentation
+    reproducible regardless of worker scheduling)."""
+    from yolo_tpu.data.transforms import SSDAugmentation
+
+    def make():
+        ds = SyntheticDetection(size=(32, 32), length=8,
+                                transform=SSDAugmentation((32, 32)))
+        return BatchLoader(ds, batch_size=4, num_workers=2, seed=3,
+                           workers="process")
+
+    b1, b2 = list(make()), list(make())
+    assert len(b1) == len(b2) == 2
+    for (i1, t1), (i2, t2) in zip(b1, b2):
+        np.testing.assert_array_equal(i1, i2)
+        for a, b in zip(t1, t2):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_batch_loader_uint8_collate():
+    """SSDAugmentation(normalize=False) flows uint8 end to end through
+    the loader (the in-graph-normalize training path)."""
+    from yolo_tpu.data.transforms import SSDAugmentation
+
+    ds = SyntheticDetection(
+        size=(32, 32), length=4,
+        transform=SSDAugmentation((32, 32), normalize=False))
+    images, targets = next(iter(BatchLoader(ds, batch_size=4,
+                                            num_workers=2,
+                                            workers="process")))
+    assert images.dtype == np.uint8
+    assert images.shape == (4, 32, 32, 3)
+    assert len(targets) == 4
+
+
+def test_prefetch_iter_order_and_errors():
+    from yolo_tpu.data.loader import prefetch_iter
+
+    got = list(prefetch_iter(range(10), lambda x: x * x, depth=3))
+    assert got == [x * x for x in range(10)]
+
+    def boom(x):
+        if x == 3:
+            raise RuntimeError("producer failure")
+        return x
+
+    with pytest.raises(RuntimeError, match="producer failure"):
+        list(prefetch_iter(range(10), boom))

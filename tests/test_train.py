@@ -199,3 +199,48 @@ def test_bf16_preserves_fp32_masters(rng):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b),
             err_msg=f"master weight re-rounded at {keys}")
+
+
+def test_uint8_step_matches_host_normalized():
+    """A uint8 batch (in-graph normalize, detector.normalize_u8) yields
+    the same loss/updates as host-normalizing the same bytes — the 4x
+    transfer saving costs nothing numerically."""
+    from yolo_tpu.config import BGR_MEAN, BGR_STD
+
+    det, params, _, gt = _tiny_setup()
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)  # RGB
+    mean = np.asarray(BGR_MEAN[::-1], np.float32)
+    std = np.asarray(BGR_STD[::-1], np.float32)
+    f32 = (u8.astype(np.float32) / 255.0 - mean) / std
+
+    tc = TrainConfig(base_lr=1e-4)
+    opt, step = make_train_step(det.module, det.cfg, tc, donate=False)
+    opt_state = opt.init(params)
+    p_u8, _, m_u8 = step(params, opt_state, u8, gt, 1e-4)
+    p_f32, _, m_f32 = step(params, opt_state, f32, gt, 1e-4)
+    np.testing.assert_allclose(float(m_u8["total_loss"]),
+                               float(m_f32["total_loss"]),
+                               rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_u8),
+                    jax.tree_util.tree_leaves(p_f32)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_uint8_detect_matches_normalized():
+    """Detector.detect on raw uint8 == detect on the host-normalized
+    float of the same bytes."""
+    from yolo_tpu.config import BGR_MEAN, BGR_STD
+
+    det, params, _, _ = _tiny_setup()
+    rng = np.random.default_rng(4)
+    u8 = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    mean = np.asarray(BGR_MEAN[::-1], np.float32)
+    std = np.asarray(BGR_STD[::-1], np.float32)
+    f32 = (u8.astype(np.float32) / 255.0 - mean) / std
+    out_u8 = det.detect(params, u8)
+    out_f32 = det.detect(params, f32)
+    for a, b in zip(out_u8, out_f32):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -41,11 +41,14 @@ def build_cfg(args):
                       hr=args.high_resolution, **kwargs)
 
 
-def build_dataset(args, cfg, train: bool = True, seed: int = 0):
-    """Dataset dispatch (reference train.py:108-157)."""
+def build_dataset(args, cfg, train: bool = True, seed: int = 0,
+                  u8: bool = False):
+    """Dataset dispatch (reference train.py:108-157). ``u8`` keeps
+    training batches as raw uint8 (normalization then runs in-graph,
+    detector.normalize_u8 — 4x less host->device traffic)."""
     size = cfg.input_size
-    transform = (SSDAugmentation(size, seed=seed) if train
-                 else BaseTransform(size))
+    transform = (SSDAugmentation(size, seed=seed, normalize=not u8)
+                 if train else BaseTransform(size))
     if args.dataset == "synthetic":
         return SyntheticDetection(size=size, num_classes=cfg.num_classes,
                                   transform=transform,

@@ -10,10 +10,11 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from yolo_tpu.cli.common import add_common_args, build_cfg, build_dataset
-from yolo_tpu.data.loader import BatchLoader
+from yolo_tpu.data.loader import BatchLoader, prefetch_iter
 from yolo_tpu.detector import Detector
 from yolo_tpu.eval.voc_eval import VOCEvaluator
 from yolo_tpu.parallel import make_mesh, shard_batch, shard_params
@@ -32,15 +33,25 @@ def _resize_batch(images: np.ndarray, size):
 
     Returns a DEVICE array (one cached jit per shape pair): the batch
     stays on device between the resize and the train step instead of
-    round-tripping through host memory every -ms iteration."""
+    round-tripping through host memory every -ms iteration. uint8
+    batches (the in-graph-normalize path) normalize inside the same jit
+    before interpolating — matching the reference's order (normalize on
+    the dataset side, interpolate the normalized tensor on device)."""
     if images.shape[1:3] == tuple(size):
         return images
-    key = (images.shape, tuple(size))
+    key = (images.shape, np.dtype(images.dtype).name, tuple(size))
     if key not in _resize_jits:
+        from yolo_tpu.detector import normalize_u8
+
         b, _, _, c = images.shape
         out_shape = (b, size[0], size[1], c)
-        _resize_jits[key] = jax.jit(lambda x: jax.image.resize(
-            x, out_shape, method="bilinear"))
+
+        def run(x):
+            if x.dtype == jnp.uint8:
+                x = normalize_u8(x)
+            return jax.image.resize(x, out_shape, method="bilinear")
+
+        _resize_jits[key] = jax.jit(run)
     return _resize_jits[key](images)
 
 
@@ -67,6 +78,16 @@ def parse_args(argv=None):
     parser.add_argument("--eval_epoch", type=int, default=10)
     parser.add_argument("--save_folder", default="weights/")
     parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--f32_input", action="store_true", default=False,
+                        help="host-normalized float32 batches instead of "
+                             "the default raw-uint8 + in-graph normalize "
+                             "path (4x more host->device traffic; exact "
+                             "round-2 pipeline semantics)")
+    parser.add_argument("--loader_workers", default="process",
+                        choices=["process", "thread"],
+                        help="dataset worker pool kind (process = real "
+                             "parallel augmentation, like the reference "
+                             "DataLoader workers)")
     parser.add_argument("--mesh_data", type=int, default=None,
                         help="data-parallel mesh size (default: all devices)")
     parser.add_argument("--dcn", default=None, metavar="COORD,N,ID",
@@ -116,9 +137,10 @@ def train(args=None):
     save_dir = os.path.join(args.save_folder, args.dataset, args.version)
     os.makedirs(save_dir, exist_ok=True)
 
-    dataset = build_dataset(args, cfg, train=True)
+    dataset = build_dataset(args, cfg, train=True, u8=not args.f32_input)
     loader = BatchLoader(dataset, args.batch_size,
                          num_workers=args.num_workers,
+                         workers=args.loader_workers,
                          process_id=jax.process_index(),
                          process_count=jax.process_count())
     val_dataset = build_dataset(args, cfg, train=False)
@@ -190,20 +212,34 @@ def train(args=None):
     best_map = -1.0
     for epoch in range(args.start_epoch, args.max_epoch):
         t_epoch = time.time()
-        for it, (images, targets) in enumerate(loader):
+
+        def prepare(arg, epoch=epoch):
+            """Per-iteration host work, run in the prefetch producer
+            thread so GT assignment + the (async) host->device transfer
+            of batch n+1 overlap the device computing batch n."""
+            nonlocal cur_cfg
+            it, (images, targets) = arg
             if ms_sizes and it % 10 == 0:
                 size = ms_sizes[int(ms_rng.integers(len(ms_sizes)))]
                 cur_cfg = cfg.with_input_size(size)
+            step_fn = step
             if ms_sizes:
                 images = _resize_batch(images, cur_cfg.input_size)
-                step = step_for(cur_cfg)
+                step_fn = step_for(cur_cfg)
             lr = lr_at(tc, epoch, it, epoch_size)
             gt = build_targets(cur_cfg, targets)
             if mesh is not None:
                 images = shard(mesh, images)
                 gt = shard(mesh, gt)
-            params, opt_state, metrics = step(params, opt_state, images,
-                                              gt, lr)
+            else:
+                images = jax.device_put(images)
+                gt = jax.device_put(gt)
+            return it, step_fn, lr, images, gt
+
+        for it, step_fn, lr, images, gt in prefetch_iter(
+                enumerate(loader), prepare, depth=2):
+            params, opt_state, metrics = step_fn(params, opt_state,
+                                                 images, gt, lr)
             if it % 10 == 0:
                 m = jax.device_get(metrics)
                 print(f"[Epoch {epoch}][Iter {it}/{epoch_size}]"

@@ -225,11 +225,19 @@ class SSDAugmentation:
     """
 
     def __init__(self, size=(416, 416), mean=BGR_MEAN, std=BGR_STD,
-                 rgb: bool = True, seed: Optional[int] = None):
+                 rgb: bool = True, seed: Optional[int] = None,
+                 normalize: bool = True):
+        """``normalize=False`` returns the augmented image as uint8
+        (pre-normalization): the batch then crosses host->device as 1
+        byte/value (4x less traffic) and normalization runs in-graph
+        (detector.normalize_u8), fused by XLA into conv1. The only
+        numeric delta vs the float path is the post-resize round to the
+        8-bit grid — below the augmentation noise floor."""
         self.size = tuple(size)
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.rgb = rgb
+        self.normalize = normalize
         self.rng = np.random.default_rng(seed)
 
     def __call__(self, image, boxes, labels):
@@ -260,9 +268,12 @@ class SSDAugmentation:
         boxes[:, 1::2] /= h
 
         im = _resize(im, self.size).astype(np.float32)
-        im /= 255.0
-        im -= self.mean
-        im /= self.std
+        if self.normalize:
+            im /= 255.0
+            im -= self.mean
+            im /= self.std
+        else:
+            im = np.clip(np.rint(im), 0, 255).astype(np.uint8)
         if self.rgb:
             im = to_rgb(im)
         return im, boxes, labels

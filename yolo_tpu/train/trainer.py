@@ -112,6 +112,10 @@ def _graft_bn_stats(master, new):
 
 def loss_fn(module, cfg: DetectorConfig, tc: TrainConfig, params, images,
             gt_tensor):
+    if images.dtype == jnp.uint8:
+        # raw RGB bytes from SSDAugmentation(normalize=False): normalize
+        # in-graph (fuses into conv1; 4x less host->device traffic)
+        images = det.normalize_u8(images)
     fwd = partial(det.train_outputs, module, cfg=cfg)
     if tc.remat:
         fwd = jax.checkpoint(fwd)
