@@ -121,6 +121,7 @@ def main():
     dt_load = time_loader(make_loader("thread", u8=False))
     dt_load_p = time_loader(make_loader("process", u8=False))
     dt_load_pu8 = time_loader(make_loader("process", u8=True))
+    dt_load_auto = time_loader(make_loader("auto", u8=True))
 
     # -- end-to-end loops ------------------------------------------------
     def run_e2e(loader, prefetch, p, o):
@@ -142,7 +143,7 @@ def main():
     dt_e2e, params, opt_state = run_e2e(
         make_loader("thread", u8=False), False, params, opt_state)
     dt_e2e_new, params, opt_state = run_e2e(
-        make_loader("process", u8=True), True, params, opt_state)
+        make_loader("auto", u8=True), True, params, opt_state)
 
     gf = _GFLOPS_416.get(a.version, 0.0) * (a.size / 416) ** 2
     tflops = 3 * gf * a.batch / dt_step / 1e3
@@ -158,10 +159,11 @@ def main():
     print(f"  host loader (8 threads, f32):  {dt_load*1e3:8.2f} ms")
     print(f"  host loader (8 procs, f32):    {dt_load_p*1e3:8.2f} ms")
     print(f"  host loader (8 procs, uint8):  {dt_load_pu8*1e3:8.2f} ms")
+    print(f"  host loader (auto: native aug):{dt_load_auto*1e3:8.2f} ms")
     print(f"  e2e loop (thread/f32/no-pf):   {dt_e2e*1e3:8.2f} ms  "
           f"{a.batch/dt_e2e:7.0f} img/s  "
           f"(overhead vs step {100*(dt_e2e/dt_step-1):.0f}%)")
-    print(f"  e2e loop (proc/uint8/prefetch):{dt_e2e_new*1e3:8.2f} ms  "
+    print(f"  e2e loop (auto/uint8/prefetch):{dt_e2e_new*1e3:8.2f} ms  "
           f"{a.batch/dt_e2e_new:7.0f} img/s  "
           f"(overhead vs step {100*(dt_e2e_new/dt_step-1):.0f}%)")
 

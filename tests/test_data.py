@@ -162,3 +162,56 @@ def test_prefetch_iter_order_and_errors():
 
     with pytest.raises(RuntimeError, match="producer failure"):
         list(prefetch_iter(range(10), boom))
+
+
+def test_batch_loader_thread_workers_deterministic_with_tls_rng():
+    """Thread-mode loading is deterministic too: the transform's rng is
+    a thread-local property, so per-item reseeding is race-free and two
+    fresh loaders yield identical batches."""
+    from yolo_tpu.data.transforms import SSDAugmentation
+
+    def make():
+        ds = SyntheticDetection(size=(32, 32), length=8,
+                                transform=SSDAugmentation((32, 32)))
+        return BatchLoader(ds, batch_size=4, num_workers=4, seed=3,
+                           workers="thread")
+
+    b1, b2 = list(make()), list(make())
+    for (i1, t1), (i2, t2) in zip(b1, b2):
+        np.testing.assert_array_equal(i1, i2)
+        for a, b in zip(t1, t2):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_native_augmentation_matches_numpy():
+    """Fused native augmentation (photometric -> expand -> crop ->
+    mirror -> resize -> normalize/u8 in one C++ pass) matches the numpy
+    backend: boxes/labels exactly, pixels to float/resize rounding."""
+    from yolo_tpu.data.transforms import SSDAugmentation
+    from yolo_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    boxes = np.array([[0.1, 0.2, 0.6, 0.7], [0.4, 0.4, 0.9, 0.9]],
+                     np.float32)
+    labels = np.array([0, 1])
+    for trial in range(40):
+        a_np = SSDAugmentation((32, 32), backend="numpy", seed=trial)
+        a_nat = SSDAugmentation((32, 32), backend="native", seed=trial)
+        i1, b1, l1 = a_np(img, boxes, labels)
+        i2, b2, l2 = a_nat(img, boxes, labels)
+        np.testing.assert_array_equal(b1, b2)
+        np.testing.assert_array_equal(l1, l2)
+        assert np.abs(i1 - i2).max() < 5e-3
+        u_np = SSDAugmentation((32, 32), backend="numpy", seed=trial,
+                               normalize=False)
+        u_nat = SSDAugmentation((32, 32), backend="native", seed=trial,
+                                normalize=False)
+        j1, c1, _ = u_np(img, boxes, labels)
+        j2, c2, _ = u_nat(img, boxes, labels)
+        np.testing.assert_array_equal(c1, c2)
+        assert j1.dtype == j2.dtype == np.uint8
+        assert np.abs(j1.astype(np.int32)
+                      - j2.astype(np.int32)).max() <= 1

@@ -83,11 +83,12 @@ def parse_args(argv=None):
                              "the default raw-uint8 + in-graph normalize "
                              "path (4x more host->device traffic; exact "
                              "round-2 pipeline semantics)")
-    parser.add_argument("--loader_workers", default="process",
-                        choices=["process", "thread"],
-                        help="dataset worker pool kind (process = real "
-                             "parallel augmentation, like the reference "
-                             "DataLoader workers)")
+    parser.add_argument("--loader_workers", default="auto",
+                        choices=["auto", "process", "thread"],
+                        help="dataset worker pool kind (auto: threads "
+                             "when the native augmentation backend is "
+                             "available, else a forked process pool "
+                             "like the reference DataLoader workers)")
     parser.add_argument("--mesh_data", type=int, default=None,
                         help="data-parallel mesh size (default: all devices)")
     parser.add_argument("--dcn", default=None, metavar="COORD,N,ID",

@@ -5,21 +5,23 @@ variable-count annotations as a list of per-image [N, 5] arrays next to a
 stacked image batch, shuffles per epoch, and overlaps host-side decode/
 augmentation with device compute.
 
-Two worker modes:
+Worker modes (``workers=``):
 
-- ``workers="process"`` (default, like the reference's num_workers
-  DataLoader processes): a forked process pool runs ``dataset[i]`` with
-  REAL parallelism — the SSD augmentation is numpy-bound and gains
-  nothing from threads under the GIL (measured: the thread pool fed a
-  416² b128 slim step at ~17 img/s end-to-end; see docs/TRAINING.md).
-  Each item's transform rng is re-seeded deterministically from
-  (loader seed, epoch, index), so batches are reproducible regardless
-  of worker count or scheduling — and the shared-Generator data race of
-  the thread mode can't occur.
-- ``workers="thread"``: the legacy thread pool (used automatically where
-  fork is unavailable). cv2-heavy datasets still overlap; numpy-heavy
-  transforms serialize on the GIL, and items draw from the transform's
-  shared rng in arrival order (not reproducible across runs).
+- ``"auto"`` (default): ``"thread"`` when the dataset transform's pixel
+  path runs native (SSDAugmentation's fused C++ backend — ctypes
+  releases the GIL, so threads parallelize with zero worker IPC),
+  ``"process"`` otherwise.
+- ``"process"`` (like the reference's num_workers DataLoader
+  processes): a forked pool runs ``dataset[i]`` with real parallelism —
+  a pure-numpy SSD augmentation is GIL-bound and gains nothing from
+  threads (measured table in docs/TRAINING.md). Each item's transform
+  rng is re-seeded deterministically from (loader seed, epoch, index),
+  so batches are reproducible regardless of worker count or scheduling
+  — and the shared-Generator data race of the thread mode can't occur.
+- ``"thread"``: a thread pool (also the fallback where fork is
+  unavailable). cv2/native work overlaps; numpy-heavy transforms
+  serialize on the GIL, and items draw from the transform's shared rng
+  in arrival order (not reproducible across runs).
 """
 
 from __future__ import annotations
@@ -68,7 +70,7 @@ class BatchLoader:
                  drop_last: bool = True, num_workers: int = 8,
                  prefetch: int = 4, seed: int = 0,
                  process_id: int = 0, process_count: int = 1,
-                 workers: str = "process"):
+                 workers: str = "auto"):
         """``batch_size`` is the GLOBAL batch. With process_count > 1
         (multi-host DCN data parallelism) each process loads only its
         contiguous batch_size/process_count row-slice of every batch;
@@ -77,9 +79,21 @@ class BatchLoader:
         if batch_size % process_count:
             raise ValueError(f"batch {batch_size} not divisible by "
                              f"{process_count} processes")
-        if workers not in ("process", "thread"):
-            raise ValueError(f"workers must be 'process' or 'thread', "
-                             f"got {workers!r}")
+        if workers not in ("auto", "process", "thread"):
+            raise ValueError(f"workers must be 'auto', 'process' or "
+                             f"'thread', got {workers!r}")
+        if workers == "auto":
+            # threads win when the transform's pixel work runs native
+            # (ctypes releases the GIL — no fork, no worker IPC);
+            # processes win for GIL-bound numpy transforms (measured
+            # table in docs/TRAINING.md).
+            native_ok = getattr(getattr(dataset, "transform", None),
+                                "_native_ok", None)
+            try:
+                workers = "thread" if native_ok and native_ok() \
+                    else "process"
+            except Exception:
+                workers = "process"
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -133,8 +147,20 @@ class BatchLoader:
         else:
             tpool = ThreadPoolExecutor(max_workers=self.num_workers)
 
+            def get(args):
+                idx, seed = args
+                tr = getattr(self.dataset, "transform", None)
+                if tr is not None and hasattr(tr, "rng"):
+                    # SSDAugmentation.rng is thread-local: this lands in
+                    # THIS worker thread's slot (race-free, per-item
+                    # deterministic — same scheme as the process mode)
+                    tr.rng = np.random.default_rng(seed)
+                return self.dataset[int(idx)]
+
             def fetch(batch_idx):
-                return list(tpool.map(self.dataset.__getitem__, batch_idx))
+                return list(tpool.map(get, [
+                    (int(i), (self.seed, epoch, int(i)))
+                    for i in batch_idx]))
 
             def close():
                 tpool.shutdown(wait=False)

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import threading
+
 import numpy as np
 
 try:
@@ -127,65 +129,101 @@ def _jaccard(boxes: np.ndarray, rect: np.ndarray) -> np.ndarray:
     return inter / (area_a + area_b - inter)
 
 
-def _photometric_distort(rng, image):
-    """Brightness/contrast/saturation/hue jitter
-    (utils/augmentations.py:388-410). Image is float32 BGR 0..255."""
-    im = image.copy()
+def draw_photometric_params(rng) -> dict:
+    """Draw the photometric jitter parameters in the reference's exact
+    rng order (utils/augmentations.py:388-410) — shared by the numpy and
+    native backends so switching backends preserves the random stream."""
+    p = {}
+    p["bright"] = float(rng.uniform(-32, 32)) if rng.integers(2) else None
+    p["contrast_first"] = bool(rng.integers(2))
+
+    def draw_contrast():
+        return float(rng.uniform(0.5, 1.5)) if rng.integers(2) else None
+
+    if p["contrast_first"]:
+        p["contrast"] = draw_contrast()
+    p["sat"] = float(rng.uniform(0.5, 1.5)) if rng.integers(2) else None
+    p["hue"] = float(rng.uniform(-18, 18)) if rng.integers(2) else None
+    if not p["contrast_first"]:
+        p["contrast"] = draw_contrast()
+    return p
+
+
+def draw_expand_params(rng, height: int, width: int):
+    """Expand decision + geometry (utils/augmentations.py:324-340).
+    Returns None (no expand) or (canvas_h, canvas_w, top, left)."""
     if rng.integers(2):
-        im += rng.uniform(-32, 32)
+        return None
+    ratio = rng.uniform(1, 4)
+    left = rng.uniform(0, width * ratio - width)
+    top = rng.uniform(0, height * ratio - height)
+    return int(height * ratio), int(width * ratio), int(top), int(left)
 
-    contrast_first = bool(rng.integers(2))
 
-    def contrast(im):
-        if rng.integers(2):
-            im *= rng.uniform(0.5, 1.5)
-        return im
-
-    if contrast_first:
-        im = contrast(im)
-    if cv2 is not None:
+def _apply_photometric(image, p: dict):
+    """Numpy application of draw_photometric_params output. Image is
+    float32 BGR 0..255 (mutated/copied)."""
+    im = image.copy()
+    if p["bright"] is not None:
+        im += p["bright"]
+    if p["contrast_first"] and p["contrast"] is not None:
+        im *= p["contrast"]
+    if cv2 is not None and (p["sat"] is not None or p["hue"] is not None):
         hsv = cv2.cvtColor(im.astype(np.float32), cv2.COLOR_BGR2HSV)
-        if rng.integers(2):
-            hsv[:, :, 1] *= rng.uniform(0.5, 1.5)
-        if rng.integers(2):
-            hsv[:, :, 0] += rng.uniform(-18, 18)
+        if p["sat"] is not None:
+            hsv[:, :, 1] *= p["sat"]
+        if p["hue"] is not None:
+            hsv[:, :, 0] += p["hue"]
             hsv[:, :, 0][hsv[:, :, 0] > 360.0] -= 360.0
             hsv[:, :, 0][hsv[:, :, 0] < 0.0] += 360.0
         im = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
-    if not contrast_first:
-        im = contrast(im)
+    if not p["contrast_first"] and p["contrast"] is not None:
+        im *= p["contrast"]
     return im
+
+
+def _photometric_distort(rng, image):
+    """Brightness/contrast/saturation/hue jitter
+    (utils/augmentations.py:388-410). Image is float32 BGR 0..255."""
+    return _apply_photometric(image, draw_photometric_params(rng))
+
+
+def _apply_expand(image, boxes, mean, ep):
+    """Numpy application of draw_expand_params output."""
+    if ep is None:
+        return image, boxes
+    canvas_h, canvas_w, top, left = ep
+    canvas = np.zeros((canvas_h, canvas_w, image.shape[2]), image.dtype)
+    canvas[:, :, :] = mean
+    canvas[top:top + image.shape[0], left:left + image.shape[1]] = image
+    boxes = boxes.copy()
+    boxes[:, :2] += (left, top)
+    boxes[:, 2:] += (left, top)
+    return canvas, boxes
 
 
 def _expand(rng, image, boxes, mean):
     """Canvas expansion with mean fill (utils/augmentations.py:324-350)."""
-    if rng.integers(2):
-        return image, boxes
-    height, width, depth = image.shape
-    ratio = rng.uniform(1, 4)
-    left = rng.uniform(0, width * ratio - width)
-    top = rng.uniform(0, height * ratio - height)
-    canvas = np.zeros((int(height * ratio), int(width * ratio), depth),
-                      image.dtype)
-    canvas[:, :, :] = mean
-    canvas[int(top):int(top) + height, int(left):int(left) + width] = image
-    boxes = boxes.copy()
-    boxes[:, :2] += (int(left), int(top))
-    boxes[:, 2:] += (int(left), int(top))
-    return canvas, boxes
+    h, w = image.shape[:2]
+    return _apply_expand(image, boxes, mean, draw_expand_params(rng, h, w))
 
 
 _CROP_MODES = (None, (0.1, None), (0.3, None), (0.7, None), (0.9, None),
                (None, None))
 
+_EMPTY_BOXES = np.zeros((0, 4), np.float32)
 
-def _random_sample_crop(rng, image, boxes, labels):
-    """IoU-constrained random crop (utils/augmentations.py:220-321)."""
-    height, width, _ = image.shape
+
+def draw_crop(rng, height: int, width: int, boxes, labels):
+    """IoU-constrained random crop GEOMETRY
+    (utils/augmentations.py:220-321): all rng draws and box math, no
+    pixel work — shared by the numpy and native backends. Returns
+    (rect [x0, y0, x1, y1] or None, boxes, labels); rect=None keeps the
+    full image."""
     while True:
         mode = _CROP_MODES[rng.integers(len(_CROP_MODES))]
         if mode is None:
-            return image, boxes, labels
+            return None, boxes, labels
         min_iou, max_iou = mode
         min_iou = -np.inf if min_iou is None else min_iou
         max_iou = np.inf if max_iou is None else max_iou
@@ -207,13 +245,21 @@ def _random_sample_crop(rng, image, boxes, labels):
                     (rect[2] > centers[:, 0]) & (rect[3] > centers[:, 1]))
             if not mask.any():
                 continue
-            crop = image[rect[1]:rect[3], rect[0]:rect[2], :]
             new_boxes = boxes[mask].copy()
             new_boxes[:, :2] = np.maximum(new_boxes[:, :2], rect[:2])
             new_boxes[:, :2] -= rect[:2]
             new_boxes[:, 2:] = np.minimum(new_boxes[:, 2:], rect[2:])
             new_boxes[:, 2:] -= rect[:2]
-            return crop, new_boxes, labels[mask]
+            return rect, new_boxes, labels[mask]
+
+
+def _random_sample_crop(rng, image, boxes, labels):
+    """IoU-constrained random crop (utils/augmentations.py:220-321)."""
+    height, width, _ = image.shape
+    rect, boxes, labels = draw_crop(rng, height, width, boxes, labels)
+    if rect is not None:
+        image = image[rect[1]:rect[3], rect[0]:rect[2], :]
+    return image, boxes, labels
 
 
 class SSDAugmentation:
@@ -226,24 +272,72 @@ class SSDAugmentation:
 
     def __init__(self, size=(416, 416), mean=BGR_MEAN, std=BGR_STD,
                  rgb: bool = True, seed: Optional[int] = None,
-                 normalize: bool = True):
+                 normalize: bool = True, backend: str = "auto"):
         """``normalize=False`` returns the augmented image as uint8
         (pre-normalization): the batch then crosses host->device as 1
         byte/value (4x less traffic) and normalization runs in-graph
-        (detector.normalize_u8), fused by XLA into conv1. The only
-        numeric delta vs the float path is the post-resize round to the
-        8-bit grid — below the augmentation noise floor."""
+        (detector.normalize_u8), fused by XLA into conv1. The numeric
+        delta vs the float path is the post-resize round to the 8-bit
+        grid plus clipping of jitter overshoot beyond [0, 255] — both
+        below the augmentation noise floor.
+
+        ``backend``: 'auto' uses the native C++ pixel path
+        (native/augment.cpp — photometric + expand with the random
+        stream still drawn here in numpy) when the library loads,
+        falling back to numpy; 'numpy' / 'native' force one."""
         self.size = tuple(size)
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.rgb = rgb
         self.normalize = normalize
-        self.rng = np.random.default_rng(seed)
+        self.backend = backend
+        self._native: Optional[bool] = None
+        self._shared_rng = np.random.default_rng(seed)
+        self._tls = threading.local()
+
+    # The rng is a thread-local-overridable property: BatchLoader workers
+    # (thread OR process pools) assign a fresh per-item Generator before
+    # each __getitem__ — the assignment lands in that worker's
+    # thread-local slot, so concurrent threads never share mutable rng
+    # state and batches are deterministic under any scheduling. Direct
+    # single-threaded use falls back to the seed-constructed generator.
+    @property
+    def rng(self):
+        r = getattr(self._tls, "rng", None)
+        return self._shared_rng if r is None else r
+
+    @rng.setter
+    def rng(self, gen):
+        self._tls.rng = gen
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d.pop("_tls", None)
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._tls = threading.local()
+
+    def _native_ok(self) -> bool:
+        if self._native is None:
+            if self.backend == "numpy":
+                self._native = False
+            else:
+                try:
+                    from yolo_tpu.utils import native
+                    self._native = native.available()
+                except Exception:
+                    self._native = False
+                if self.backend == "native" and not self._native:
+                    raise RuntimeError(
+                        "native augmentation backend unavailable "
+                        "(build with: make -C native)")
+        return self._native
 
     def __call__(self, image, boxes, labels):
         rng = self.rng
         height, width = image.shape[:2]
-        im = image.astype(np.float32)
         boxes = np.asarray(boxes, np.float32).copy()
         labels = np.asarray(labels)
 
@@ -251,22 +345,44 @@ class SSDAugmentation:
         boxes[:, 0::2] *= width
         boxes[:, 1::2] *= height
 
-        im = _photometric_distort(rng, im)
-        im, boxes = _expand(rng, im, boxes, self.mean)
-        im, boxes, labels = _random_sample_crop(rng, im, boxes, labels)
-
-        # mirror
-        if rng.integers(2):
-            im = im[:, ::-1]
-            w = im.shape[1]
+        # ALL rng draws and box geometry happen here, identically for
+        # both backends (the random streams match by construction); only
+        # the pixel work differs.
+        pp = draw_photometric_params(rng)
+        ep = draw_expand_params(rng, height, width)
+        if ep is not None:
+            eh, ew, top, left = ep
+            boxes[:, :2] += (left, top)
+            boxes[:, 2:] += (left, top)
+        else:
+            eh, ew = height, width
+        rect, boxes, labels = draw_crop(rng, eh, ew, boxes, labels)
+        ch_, cw_ = ((rect[3] - rect[1], rect[2] - rect[0])
+                    if rect is not None else (eh, ew))
+        mirror = bool(rng.integers(2))
+        if mirror:
             boxes = boxes.copy()
-            boxes[:, 0::2] = w - boxes[:, 2::-2]
-
+            boxes[:, 0::2] = cw_ - boxes[:, 2::-2]
         # back to percent coords
-        h, w = im.shape[:2]
-        boxes[:, 0::2] /= w
-        boxes[:, 1::2] /= h
+        boxes[:, 0::2] /= cw_
+        boxes[:, 1::2] /= ch_
 
+        if image.dtype == np.uint8 and self._native_ok():
+            # fused single pass: photometric -> expand -> crop -> mirror
+            # -> resize -> normalize/u8, no intermediate canvases
+            from yolo_tpu.utils import native
+            im = native.augment_one(image, pp, ep, rect, mirror,
+                                    self.size, self.mean, self.std,
+                                    rgb=self.rgb,
+                                    u8_out=not self.normalize)
+            return im, boxes, labels
+
+        im = _apply_photometric(image.astype(np.float32), pp)
+        im, _ = _apply_expand(im, _EMPTY_BOXES, self.mean, ep)
+        if rect is not None:
+            im = im[rect[1]:rect[3], rect[0]:rect[2], :]
+        if mirror:
+            im = im[:, ::-1]
         im = _resize(im, self.size).astype(np.float32)
         if self.normalize:
             im /= 255.0

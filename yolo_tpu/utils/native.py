@@ -32,7 +32,7 @@ def _build() -> bool:
         return False
 
 
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 def load() -> Optional[ctypes.CDLL]:
@@ -79,6 +79,33 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,                                     # to_rgb
         ctypes.c_void_p,                                  # out i8 (s2d)
         ctypes.c_float,                                   # act_scale
+    ]
+    lib.yolo_tpu_photometric_expand.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,      # src, h, w
+        ctypes.c_int, ctypes.c_float,                     # bright
+        ctypes.c_int, ctypes.c_int, ctypes.c_float,       # contrast
+        ctypes.c_int, ctypes.c_float,                     # sat
+        ctypes.c_int, ctypes.c_float,                     # hue
+        ctypes.c_int, ctypes.c_int,                       # out_h, out_w
+        ctypes.c_int, ctypes.c_int,                       # top, left
+        ctypes.POINTER(ctypes.c_float),                   # fill (BGR)
+        ctypes.c_void_p,                                  # out f32
+    ]
+    lib.yolo_tpu_augment_one.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,      # src, h, w
+        ctypes.c_int, ctypes.c_float,                     # bright
+        ctypes.c_int, ctypes.c_int, ctypes.c_float,       # contrast
+        ctypes.c_int, ctypes.c_float,                     # sat
+        ctypes.c_int, ctypes.c_float,                     # hue
+        ctypes.c_int, ctypes.c_int,                       # eh, ew
+        ctypes.c_int, ctypes.c_int,                       # top, left
+        ctypes.c_int, ctypes.c_int,                       # cx0, cy0
+        ctypes.c_int, ctypes.c_int,                       # cx1, cy1
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,         # mirror, oh, ow
+        ctypes.POINTER(ctypes.c_float),                   # mean
+        ctypes.POINTER(ctypes.c_float),                   # std
+        ctypes.c_int, ctypes.c_int,                       # to_rgb, u8_out
+        ctypes.c_void_p, ctypes.c_void_p,                 # out f32 / u8
     ]
     _lib = lib
     return _lib
@@ -139,3 +166,74 @@ def preprocess_batch(frames: List[np.ndarray], size: Tuple[int, int],
         n, oh, ow, mean_c, std_c, int(rgb), of_p, oi_p,
         float(int8_scale or 0.0))
     return out_f32 if int8_scale is None else out_i8
+
+
+def photometric_expand(image_u8: np.ndarray, pp: dict, ep,
+                       mean=BGR_MEAN) -> np.ndarray:
+    """Native photometric distort + optional mean-fill expansion.
+
+    ``pp``/``ep`` are data.transforms.draw_photometric_params /
+    draw_expand_params outputs (randomness stays in numpy — the native
+    code only applies the drawn values to the pixels). Returns the
+    float32 BGR canvas (expanded dims when ``ep`` is set). ctypes
+    releases the GIL for the call, so thread-pool loader workers get
+    real parallelism without process IPC."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    image_u8 = np.ascontiguousarray(image_u8, dtype=np.uint8)
+    h, w = image_u8.shape[:2]
+    out_h, out_w, top, left = (h, w, 0, 0) if ep is None else ep
+    out = np.empty((out_h, out_w, 3), np.float32)
+    mean_c = (ctypes.c_float * 3)(*np.asarray(mean, np.float32))
+    contrast = pp.get("contrast")
+    lib.yolo_tpu_photometric_expand(
+        image_u8.ctypes.data_as(ctypes.c_void_p), h, w,
+        int(pp["bright"] is not None), float(pp["bright"] or 0.0),
+        int(pp["contrast_first"]),
+        int(contrast is not None), float(contrast or 0.0),
+        int(pp["sat"] is not None), float(pp["sat"] or 0.0),
+        int(pp["hue"] is not None), float(pp["hue"] or 0.0),
+        out_h, out_w, top, left, mean_c,
+        out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def augment_one(image_u8: np.ndarray, pp: dict, ep, rect, mirror: bool,
+                size, mean, std, rgb: bool = True,
+                u8_out: bool = False) -> np.ndarray:
+    """Fused native SSD augmentation (native/augment.cpp
+    yolo_tpu_augment_one): photometric -> expand -> crop -> mirror ->
+    bilinear resize -> normalize (or uint8 round), one pass, no
+    intermediate canvases. ``pp``/``ep``/``rect`` come from the
+    data.transforms draw_* helpers (all randomness stays in numpy).
+    Returns float32 normalized [oh, ow, 3] or uint8 with ``u8_out``."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    image_u8 = np.ascontiguousarray(image_u8, dtype=np.uint8)
+    h, w = image_u8.shape[:2]
+    eh, ew, top, left = (h, w, 0, 0) if ep is None else ep
+    cx0, cy0, cx1, cy1 = (0, 0, ew, eh) if rect is None else \
+        (int(rect[0]), int(rect[1]), int(rect[2]), int(rect[3]))
+    oh, ow = size
+    mean_c = (ctypes.c_float * 3)(*np.asarray(mean, np.float32))
+    std_c = (ctypes.c_float * 3)(*np.asarray(std, np.float32))
+    contrast = pp.get("contrast")
+    if u8_out:
+        out = np.empty((oh, ow, 3), np.uint8)
+        of_p, ou_p = None, out.ctypes.data_as(ctypes.c_void_p)
+    else:
+        out = np.empty((oh, ow, 3), np.float32)
+        of_p, ou_p = out.ctypes.data_as(ctypes.c_void_p), None
+    lib.yolo_tpu_augment_one(
+        image_u8.ctypes.data_as(ctypes.c_void_p), h, w,
+        int(pp["bright"] is not None), float(pp["bright"] or 0.0),
+        int(pp["contrast_first"]),
+        int(contrast is not None), float(contrast or 0.0),
+        int(pp["sat"] is not None), float(pp["sat"] or 0.0),
+        int(pp["hue"] is not None), float(pp["hue"] or 0.0),
+        eh, ew, top, left, cx0, cy0, cx1, cy1,
+        int(mirror), oh, ow, mean_c, std_c, int(rgb), int(u8_out),
+        of_p, ou_p)
+    return out
