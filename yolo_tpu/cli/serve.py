@@ -28,11 +28,15 @@ def parse_args(argv=None):
                         help="synthetic | video path | camera index")
     parser.add_argument("--fp32", action="store_true", default=False,
                         help="serve the FP32 graph instead of INT8")
-    parser.add_argument("--input", default="s2d",
-                        choices=["s2d", "int8", "f32"],
+    parser.add_argument("--input", default="auto",
+                        choices=["auto", "s2d", "int8", "f32"],
                         help="host->device input mode: s2d (int8 in the "
-                        "padded space-to-depth layout, fastest), int8 "
-                        "(host-quantized NHWC), f32 (quantize in-graph)")
+                        "padded space-to-depth layout), int8 "
+                        "(host-quantized NHWC), f32 (quantize in-graph)."
+                        " auto picks the measured-best per family: int8 "
+                        "for yolo_v2 at batch>=128 (its s2d entry form "
+                        "loses there — docs/PERFORMANCE.md), s2d "
+                        "otherwise")
     return parser.parse_args(argv)
 
 
@@ -67,6 +71,11 @@ def _trained_or_none(args, cfg):
 def main(args=None):
     args = args or parse_args()
     cfg = build_cfg(args)
+    if args.input == "auto":
+        # measured per-family best (docs/PERFORMANCE.md input-mode
+        # table): yolo_v2's s2d block-conv entry loses at b128+
+        args.input = ("int8" if args.version == "yolo_v2"
+                      and args.batch >= 128 else "s2d")
 
     import jax
 
