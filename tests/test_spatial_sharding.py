@@ -78,3 +78,24 @@ def test_data_sharded_family_detect_bit_exact(version):
     got = [np.asarray(a) for a in detect_sh(shard_batch(mesh, images))]
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+def test_truly_spatial_sharded_int8_bit_exact(setup):
+    """TRUE spatial input sharding of the integer engine: the input's
+    HEIGHT is sharded over the 'space' axis (spatial=True), XLA inserts
+    int8 halo exchanges at every conv, and the result is BIT-exact with
+    unsharded — exact integer arithmetic survives the partitioning."""
+    cfg, det, params, images = setup
+    from yolo_tpu.quant.int8_graph import (
+        make_int8_detect_fn, quantize_pipeline)
+
+    m = quantize_pipeline(jax.device_get(params), cfg, [images[:2]])
+    want = [np.asarray(a)
+            for a in make_int8_detect_fn(m, cfg)(images)]
+
+    mesh = make_mesh(data=4, space=2)
+    detect_sh = make_int8_detect_fn(m, cfg, mesh=mesh, spatial=True)
+    got = [np.asarray(a) for a in
+           detect_sh(shard_batch(mesh, images, spatial=True))]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)

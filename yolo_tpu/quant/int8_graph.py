@@ -61,7 +61,7 @@ def int8_predict(m: fp.Int8Model, images, cfg: DetectorConfig,
 def make_int8_detect_fn(m: fp.Int8Model, cfg: DetectorConfig,
                         rounding: str = "nearest", backend: str = "xla",
                         mesh=None, s2d_layers: tuple = (),
-                        input_s2d: bool = False):
+                        input_s2d: bool = False, spatial: bool = False):
     """Jitted end-to-end int8 detector:
     images [B, H, W, 3] float OR int8 -> (boxes, scores, classes, valid).
 
@@ -75,7 +75,16 @@ def make_int8_detect_fn(m: fp.Int8Model, cfg: DetectorConfig,
 
     With ``mesh``, the batch shards over the 'data' axis (multi-chip
     serving): weights replicate, each chip runs its slice of the batch
-    through conv+decode+NMS, outputs stay batch-sharded."""
+    through conv+decode+NMS, outputs stay batch-sharded. With
+    ``spatial`` the input additionally shards its HEIGHT over the
+    mesh's 'space' axis — XLA inserts halo exchanges at every int8
+    conv (lossless: integer arithmetic, same op order per output
+    element, so results stay BIT-exact) and gathers before decode/NMS.
+    Spatial mode requires plain NHWC input (not the s2d layout, whose
+    padded block rows don't split on H)."""
+    if spatial and input_s2d:
+        raise ValueError("spatial sharding requires NHWC input "
+                         "(input_s2d=False)")
 
     def body(images):
         fp.check_serving_input(images, cfg, input_s2d)
@@ -91,7 +100,9 @@ def make_int8_detect_fn(m: fp.Int8Model, cfg: DetectorConfig,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     batch_sh = NamedSharding(mesh, P("data"))
-    return jax.jit(body, in_shardings=batch_sh,
+    in_sh = (NamedSharding(mesh, P("data", "space")) if spatial
+             else batch_sh)
+    return jax.jit(body, in_shardings=in_sh,
                    out_shardings=(batch_sh,) * 4)
 
 
