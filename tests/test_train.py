@@ -244,3 +244,63 @@ def test_uint8_detect_matches_normalized():
     for a, b in zip(out_u8, out_f32):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_resume_is_bit_exact(tmp_path):
+    """Save -> restart -> continue reproduces an uninterrupted run
+    EXACTLY: the loader's shuffle order and per-item augmentation seeds
+    are pure functions of (seed, epoch) (BatchLoader.set_epoch), and
+    checkpoints carry optimizer momentum — so 1 epoch + resume + 1
+    epoch equals 2 straight epochs, parameter-for-parameter."""
+    from flax import serialization
+
+    from yolo_tpu.config import get_config
+    from yolo_tpu.data.loader import BatchLoader
+    from yolo_tpu.data.synthetic import SyntheticDetection
+    from yolo_tpu.data.transforms import SSDAugmentation
+    from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    det = Detector(cfg)
+    tc = TrainConfig(base_lr=1e-3)
+
+    def make_loader():
+        ds = SyntheticDetection(size=(32, 32), num_classes=2, length=8,
+                                transform=SSDAugmentation((32, 32)))
+        return BatchLoader(ds, 4, num_workers=2, seed=11)
+
+    def run_epoch(loader, epoch, params, opt_state, step):
+        loader.set_epoch(epoch)
+        for images, targets in loader:
+            gt = build_targets(cfg, targets)
+            params, opt_state, _ = step(params, opt_state, images, gt,
+                                        1e-3)
+        return params, opt_state
+
+    # straight: two epochs in one process
+    params = det.init_params(jax.random.PRNGKey(0))
+    opt, step = make_train_step(det.module, cfg, tc, donate=False)
+    opt_state = opt.init(params)
+    p, o = run_epoch(make_loader(), 0, params, opt_state, step)
+    p, o = run_epoch(make_loader(), 1, p, o, step)
+    want = jax.device_get(p)
+
+    # interrupted: epoch 0, checkpoint, "restart" (fresh loader/opt
+    # objects, state from disk), epoch 1
+    params = det.init_params(jax.random.PRNGKey(0))
+    opt_state = opt.init(params)
+    p1, o1 = run_epoch(make_loader(), 0, params, opt_state, step)
+    ckpt = tmp_path / "resume.msgpack"
+    save_checkpoint(str(ckpt), p1, extra={
+        "epoch": 1,
+        "opt_state": serialization.to_state_dict(jax.device_get(o1)),
+    })
+    p2, extra = load_checkpoint(str(ckpt))
+    o2 = serialization.from_state_dict(opt.init(p2),
+                                       extra["opt_state"])
+    p2, _ = run_epoch(make_loader(), int(extra["epoch"]), p2, o2, step)
+    got = jax.device_get(p2)
+
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -193,10 +193,13 @@ def train(args=None):
 
     # multi-scale training: random re-bucketed input size every 10 iters
     # (reference train.py:287-294); each size bucket gets its own cached
-    # jitted step (params/opt_state are size-independent).
+    # jitted step (params/opt_state are size-independent). The bucket
+    # schedule is derived per (epoch) so a resumed run replays it.
     ms_sizes = multi_scale_sizes() if args.multi_scale else None
-    ms_rng = np.random.default_rng(7)
     cur_cfg = cfg
+    # exact-resume alignment: shuffle order + per-item augmentation
+    # seeds are pure functions of (loader seed, epoch)
+    loader.set_epoch(args.start_epoch)
     steps_by_size = {cfg.input_size: step}
 
     def step_for(c):
@@ -213,8 +216,9 @@ def train(args=None):
     best_map = -1.0
     for epoch in range(args.start_epoch, args.max_epoch):
         t_epoch = time.time()
+        ms_rng = np.random.default_rng((7, epoch))
 
-        def prepare(arg, epoch=epoch):
+        def prepare(arg, epoch=epoch, ms_rng=ms_rng):
             """Per-iteration host work, run in the prefetch producer
             thread so GT assignment + the (async) host->device transfer
             of batch n+1 overlap the device computing batch n."""

@@ -101,7 +101,6 @@ class BatchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.seed = seed
-        self.rng = np.random.default_rng(seed)
         self.process_id = process_id
         self.process_count = process_count
         if workers == "process" and "fork" not in \
@@ -116,10 +115,22 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _batches_of_indices(self):
+    def set_epoch(self, epoch: int) -> None:
+        """Align the loader's epoch counter after a resume: the shuffle
+        order and per-item augmentation seeds are pure functions of
+        (seed, epoch), so a restarted run that calls
+        ``set_epoch(start_epoch)`` replays the exact batches an
+        uninterrupted run would have seen (checkpoint/resume exactness
+        — tests/test_train.py)."""
+        self._epoch = int(epoch)
+
+    def _batches_of_indices(self, epoch: int):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(idx)
+            # derived per (seed, epoch), NOT a mutated sequential stream:
+            # epoch N's order is identical whether or not epochs 0..N-1
+            # ran in this process — required for exact resume
+            np.random.default_rng((self.seed, epoch)).shuffle(idx)
         stop = (len(idx) // self.batch_size * self.batch_size
                 if self.drop_last else len(idx))
         per = self.batch_size // self.process_count
@@ -171,7 +182,7 @@ class BatchLoader:
 
         def produce():
             try:
-                for batch_idx in self._batches_of_indices():
+                for batch_idx in self._batches_of_indices(epoch):
                     q.put(detection_collate(fetch(batch_idx)))
                 q.put(stop)
             except BaseException as e:  # re-raised in the consumer
