@@ -138,44 +138,6 @@ inline AxisMap2 make_axis2(int in_n, int out_n) {
 
 extern "C" {
 
-// src: u8 [h, w, 3] BGR. out: float32 [out_h, out_w, 3] BGR canvas —
-// out_h/out_w/top/left come from draw_expand_params (equal dims + 0/0
-// means no expansion). has_* flags gate each jitter (a drawn value of
-// exactly 0.0 is still applied when its flag is set). fill = BGR mean
-// for the expansion border.
-void yolo_tpu_photometric_expand(
-    const uint8_t* src, int h, int w,
-    int has_bright, float bright_delta,
-    int contrast_first, int has_contrast, float contrast_alpha,
-    int has_sat, float sat_alpha, int has_hue, float hue_delta,
-    int out_h, int out_w, int top, int left, const float* fill,
-    float* out) {
-  if (out_h != h || out_w != w) {
-    const size_t total = static_cast<size_t>(out_h) * out_w * 3;
-    for (size_t i = 0; i < total; i += 3) {
-      out[i] = fill[0];
-      out[i + 1] = fill[1];
-      out[i + 2] = fill[2];
-    }
-  }
-  for (int y = 0; y < h; ++y) {
-    const uint8_t* row = src + static_cast<size_t>(y) * w * 3;
-    float* orow =
-        out + ((static_cast<size_t>(y) + top) * out_w + left) * 3;
-    for (int x = 0; x < w; ++x) {
-      float b = row[x * 3 + 0];
-      float g = row[x * 3 + 1];
-      float r = row[x * 3 + 2];
-      photometric_px(&b, &g, &r, has_bright, bright_delta, contrast_first,
-                     has_contrast, contrast_alpha, has_sat, sat_alpha,
-                     has_hue, hue_delta);
-      orow[x * 3 + 0] = b;
-      orow[x * 3 + 1] = g;
-      orow[x * 3 + 2] = r;
-    }
-  }
-}
-
 // The whole SSD augmentation pixel pipeline, fused: photometric ->
 // expand -> crop -> mirror -> bilinear resize -> (normalize | round to
 // uint8), touching each source pixel once and materializing NO

@@ -210,6 +210,6 @@ void yolo_tpu_preprocess_batch_s2d(const uint8_t** frames, const int* ihs,
   p->wait();
 }
 
-int yolo_tpu_version() { return 3; }
+int yolo_tpu_version() { return 4; }
 
 }  // extern "C"

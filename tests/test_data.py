@@ -215,3 +215,52 @@ def test_native_augmentation_matches_numpy():
         assert j1.dtype == j2.dtype == np.uint8
         assert np.abs(j1.astype(np.int32)
                       - j2.astype(np.int32)).max() <= 1
+
+
+def test_native_matches_numpy_without_cv2(monkeypatch):
+    """The cv2-less numpy HSV fallback keeps backend parity: native and
+    numpy augmentation agree even when cv2 is unavailable."""
+    from yolo_tpu.data import transforms as T
+    from yolo_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    monkeypatch.setattr(T, "cv2", None)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    boxes = np.array([[0.1, 0.2, 0.6, 0.7]], np.float32)
+    labels = np.zeros(1)
+    for trial in range(15):
+        i1, b1, _ = T.SSDAugmentation((32, 32), backend="numpy",
+                                      seed=trial)(img, boxes, labels)
+        i2, b2, _ = T.SSDAugmentation((32, 32), backend="native",
+                                      seed=trial)(img, boxes, labels)
+        np.testing.assert_array_equal(b1, b2)
+        assert np.abs(i1 - i2).max() < 5e-3
+
+
+def test_prefetch_iter_closes_abandoned_source():
+    """Breaking out of prefetch_iter closes the source generator (so a
+    BatchLoader epoch generator shuts its worker pool down instead of
+    leaking forked processes — the --debug path)."""
+    import time
+
+    from yolo_tpu.data.loader import prefetch_iter
+
+    closed = []
+
+    def gen():
+        try:
+            for i in range(100):
+                yield i
+        finally:
+            closed.append(True)
+
+    for item in prefetch_iter(gen(), lambda x: x, depth=2):
+        if item == 1:
+            break
+    for _ in range(100):  # producer notices within ~0.1s put timeout
+        if closed:
+            break
+        time.sleep(0.05)
+    assert closed, "source generator was not closed after abandon"

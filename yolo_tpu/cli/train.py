@@ -6,6 +6,7 @@ python -m yolo_tpu.cli.train -v slim_yolo_v2 -d synthetic --max_epoch 3
 from __future__ import annotations
 
 import argparse
+import itertools
 import os
 import time
 
@@ -218,12 +219,17 @@ def train(args=None):
         t_epoch = time.time()
         ms_rng = np.random.default_rng((7, epoch))
 
+        it_counter = itertools.count()
+
         def prepare(arg, epoch=epoch, ms_rng=ms_rng):
             """Per-iteration host work, run in the prefetch producer
             thread so GT assignment + the (async) host->device transfer
-            of batch n+1 overlap the device computing batch n."""
+            of batch n+1 overlap the device computing batch n. (Called
+            strictly in order by the single producer thread, so the
+            iteration counter and ms state are race-free.)"""
             nonlocal cur_cfg
-            it, (images, targets) = arg
+            it = next(it_counter)
+            images, targets = arg
             if ms_sizes and it % 10 == 0:
                 size = ms_sizes[int(ms_rng.integers(len(ms_sizes)))]
                 cur_cfg = cfg.with_input_size(size)
@@ -241,8 +247,11 @@ def train(args=None):
                 gt = jax.device_put(gt)
             return it, step_fn, lr, images, gt
 
+        # pass the epoch generator itself: if the loop exits early
+        # (--debug, exception), prefetch_iter closes it so the loader's
+        # worker pool shuts down instead of leaking
         for it, step_fn, lr, images, gt in prefetch_iter(
-                enumerate(loader), prepare, depth=2):
+                iter(loader), prepare, depth=2):
             params, opt_state, metrics = step_fn(params, opt_state,
                                                  images, gt, lr)
             if it % 10 == 0:

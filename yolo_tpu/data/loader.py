@@ -7,10 +7,11 @@ augmentation with device compute.
 
 Worker modes (``workers=``):
 
-- ``"auto"`` (default): ``"thread"`` when the dataset transform's pixel
-  path runs native (SSDAugmentation's fused C++ backend — ctypes
-  releases the GIL, so threads parallelize with zero worker IPC),
-  ``"process"`` otherwise.
+- ``"auto"`` (default): ``"process"`` only for the one case it measured
+  fastest — a GIL-bound numpy augmentation emitting uint8 (small IPC);
+  ``"thread"`` everywhere else (native augmentation and cv2 float
+  transforms release the GIL, and process IPC of float32 images costs
+  more than it saves — docs/TRAINING.md table).
 - ``"process"`` (like the reference's num_workers DataLoader
   processes): a forked pool runs ``dataset[i]`` with real parallelism —
   a pure-numpy SSD augmentation is GIL-bound and gains nothing from
@@ -49,8 +50,11 @@ def detection_collate(samples) -> Tuple[np.ndarray, List[np.ndarray]]:
 
 # Set (in the parent) immediately before the fork so pool workers inherit
 # the dataset by COW page sharing — nothing is pickled per item but the
-# indices and the returned samples.
+# indices and the returned samples. _FORK_LOCK spans the set->fork window
+# so two loaders starting iteration concurrently can't hand each other's
+# dataset to their workers.
 _FORK_DATASET = None
+_FORK_LOCK = threading.Lock()
 
 
 def _fork_get(args):
@@ -83,17 +87,21 @@ class BatchLoader:
             raise ValueError(f"workers must be 'auto', 'process' or "
                              f"'thread', got {workers!r}")
         if workers == "auto":
-            # threads win when the transform's pixel work runs native
-            # (ctypes releases the GIL — no fork, no worker IPC);
-            # processes win for GIL-bound numpy transforms (measured
-            # table in docs/TRAINING.md).
-            native_ok = getattr(getattr(dataset, "transform", None),
-                                "_native_ok", None)
+            # Measured policy (docs/TRAINING.md table): threads when the
+            # transform's pixel work releases the GIL (native
+            # SSDAugmentation backend, or cv2-based float transforms —
+            # process IPC of float32 images costs more than the GIL);
+            # a forked process pool ONLY for the GIL-bound numpy
+            # augmentation emitting uint8, where it measured fastest.
+            tr = getattr(dataset, "transform", None)
+            native_ok = getattr(tr, "_native_ok", None)
+            u8_out = getattr(tr, "normalize", True) is False
             try:
-                workers = "thread" if native_ok and native_ok() \
-                    else "process"
+                use_native = bool(native_ok and native_ok())
             except Exception:
-                workers = "process"
+                use_native = False
+            workers = ("process" if (u8_out and not use_native)
+                       else "thread")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -144,8 +152,9 @@ class BatchLoader:
         self._epoch += 1
         if self.workers == "process":
             global _FORK_DATASET
-            _FORK_DATASET = self.dataset
-            pool = mp.get_context("fork").Pool(self.num_workers)
+            with _FORK_LOCK:  # set->fork must be atomic across loaders
+                _FORK_DATASET = self.dataset
+                pool = mp.get_context("fork").Pool(self.num_workers)
 
             def fetch(batch_idx):
                 return pool.map(_fork_get, [
@@ -216,27 +225,52 @@ def prefetch_iter(iterable: Iterable, prepare: Optional[Callable] = None,
     reference's DataLoader worker prefetch. Items are prepared strictly
     in order (``prepare`` may carry sequential state, e.g. the
     multi-scale bucket schedule). Exceptions in ``prepare`` re-raise in
-    the consumer. If the consumer abandons the iterator early the
-    producer (a daemon thread) may stay blocked on the queue until
-    process exit — fine for training loops, don't use for short-lived
-    scans."""
+    the consumer.
+
+    Abandoning the iterator early (break / exception / .close()) is
+    SAFE: the generator's cleanup signals the producer, which stops and
+    closes ``iterable`` if it is a generator — so an underlying
+    BatchLoader epoch generator runs its own ``finally`` and shuts its
+    worker pool down (no leaked forked processes)."""
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     stop = object()
     fail = object()
+    abandoned = threading.Event()
+
+    def put(item) -> bool:
+        """Blocking put that gives up when the consumer is gone."""
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         try:
             for item in iterable:
-                q.put(prepare(item) if prepare is not None else item)
-            q.put(stop)
+                if not put(prepare(item) if prepare is not None
+                           else item):
+                    break
+            put(stop)
         except BaseException as e:  # pragma: no cover - surfaced below
-            q.put((fail, e))
+            put((fail, e))
+        finally:
+            if abandoned.is_set():
+                close = getattr(iterable, "close", None)
+                if close is not None:
+                    close()
 
     threading.Thread(target=produce, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is fail:
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] is fail:
+                raise item[1]
+            yield item
+    finally:
+        abandoned.set()

@@ -160,6 +160,39 @@ def draw_expand_params(rng, height: int, width: int):
     return int(height * ratio), int(width * ratio), int(top), int(left)
 
 
+def _bgr2hsv_np(im):
+    """cv2's float BGR->HSV conventions in numpy (H degrees [0,360),
+    S = diff/(|V|+eps), V = max channel) — fallback when cv2 is absent
+    so the numpy and native backends always agree."""
+    eps = np.float32(1.1920929e-7)
+    b, g, r = im[..., 0], im[..., 1], im[..., 2]
+    v = np.max(im, axis=-1)
+    diff = v - np.min(im, axis=-1)
+    s = diff / (np.abs(v) + eps)
+    k = np.float32(60.0) / (diff + eps)
+    h = np.where(v == r, (g - b) * k,
+                 np.where(v == g, (b - r) * k + 120.0,
+                          (r - g) * k + 240.0))
+    h = np.where(h < 0.0, h + 360.0, h)
+    return np.stack([h, s, v], axis=-1).astype(np.float32)
+
+
+def _hsv2bgr_np(hsv):
+    """cv2's float HSV->BGR (sector formula; S>1 / wrapped H allowed)."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    hh = h / 60.0
+    sector = np.floor(hh)
+    f = (hh - sector).astype(np.float32)
+    sector = np.mod(sector, 6).astype(np.int32)
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    r = np.choose(sector, [v, q, p, p, t, v])
+    g = np.choose(sector, [t, v, v, q, p, p])
+    b = np.choose(sector, [p, p, t, v, v, q])
+    return np.stack([b, g, r], axis=-1).astype(np.float32)
+
+
 def _apply_photometric(image, p: dict):
     """Numpy application of draw_photometric_params output. Image is
     float32 BGR 0..255 (mutated/copied)."""
@@ -168,15 +201,19 @@ def _apply_photometric(image, p: dict):
         im += p["bright"]
     if p["contrast_first"] and p["contrast"] is not None:
         im *= p["contrast"]
-    if cv2 is not None and (p["sat"] is not None or p["hue"] is not None):
-        hsv = cv2.cvtColor(im.astype(np.float32), cv2.COLOR_BGR2HSV)
+    if p["sat"] is not None or p["hue"] is not None:
+        if cv2 is not None:
+            hsv = cv2.cvtColor(im.astype(np.float32), cv2.COLOR_BGR2HSV)
+        else:
+            hsv = _bgr2hsv_np(im.astype(np.float32))
         if p["sat"] is not None:
             hsv[:, :, 1] *= p["sat"]
         if p["hue"] is not None:
             hsv[:, :, 0] += p["hue"]
             hsv[:, :, 0][hsv[:, :, 0] > 360.0] -= 360.0
             hsv[:, :, 0][hsv[:, :, 0] < 0.0] += 360.0
-        im = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+        im = (cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR) if cv2 is not None
+              else _hsv2bgr_np(hsv))
     if not p["contrast_first"] and p["contrast"] is not None:
         im *= p["contrast"]
     return im

@@ -85,6 +85,9 @@ def make_int8_detect_fn(m: fp.Int8Model, cfg: DetectorConfig,
     if spatial and input_s2d:
         raise ValueError("spatial sharding requires NHWC input "
                          "(input_s2d=False)")
+    if spatial and mesh is None:
+        raise ValueError("spatial=True requires a mesh with a 'space' "
+                         "axis (parallel.make_mesh(data=, space=))")
 
     def body(images):
         fp.check_serving_input(images, cfg, input_s2d)

@@ -32,7 +32,7 @@ def _build() -> bool:
         return False
 
 
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 def load() -> Optional[ctypes.CDLL]:
@@ -79,17 +79,6 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,                                     # to_rgb
         ctypes.c_void_p,                                  # out i8 (s2d)
         ctypes.c_float,                                   # act_scale
-    ]
-    lib.yolo_tpu_photometric_expand.argtypes = [
-        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,      # src, h, w
-        ctypes.c_int, ctypes.c_float,                     # bright
-        ctypes.c_int, ctypes.c_int, ctypes.c_float,       # contrast
-        ctypes.c_int, ctypes.c_float,                     # sat
-        ctypes.c_int, ctypes.c_float,                     # hue
-        ctypes.c_int, ctypes.c_int,                       # out_h, out_w
-        ctypes.c_int, ctypes.c_int,                       # top, left
-        ctypes.POINTER(ctypes.c_float),                   # fill (BGR)
-        ctypes.c_void_p,                                  # out f32
     ]
     lib.yolo_tpu_augment_one.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,      # src, h, w
@@ -166,37 +155,6 @@ def preprocess_batch(frames: List[np.ndarray], size: Tuple[int, int],
         n, oh, ow, mean_c, std_c, int(rgb), of_p, oi_p,
         float(int8_scale or 0.0))
     return out_f32 if int8_scale is None else out_i8
-
-
-def photometric_expand(image_u8: np.ndarray, pp: dict, ep,
-                       mean=BGR_MEAN) -> np.ndarray:
-    """Native photometric distort + optional mean-fill expansion.
-
-    ``pp``/``ep`` are data.transforms.draw_photometric_params /
-    draw_expand_params outputs (randomness stays in numpy — the native
-    code only applies the drawn values to the pixels). Returns the
-    float32 BGR canvas (expanded dims when ``ep`` is set). ctypes
-    releases the GIL for the call, so thread-pool loader workers get
-    real parallelism without process IPC."""
-    lib = load()
-    if lib is None:
-        raise RuntimeError("native library unavailable")
-    image_u8 = np.ascontiguousarray(image_u8, dtype=np.uint8)
-    h, w = image_u8.shape[:2]
-    out_h, out_w, top, left = (h, w, 0, 0) if ep is None else ep
-    out = np.empty((out_h, out_w, 3), np.float32)
-    mean_c = (ctypes.c_float * 3)(*np.asarray(mean, np.float32))
-    contrast = pp.get("contrast")
-    lib.yolo_tpu_photometric_expand(
-        image_u8.ctypes.data_as(ctypes.c_void_p), h, w,
-        int(pp["bright"] is not None), float(pp["bright"] or 0.0),
-        int(pp["contrast_first"]),
-        int(contrast is not None), float(contrast or 0.0),
-        int(pp["sat"] is not None), float(pp["sat"] or 0.0),
-        int(pp["hue"] is not None), float(pp["hue"] or 0.0),
-        out_h, out_w, top, left, mean_c,
-        out.ctypes.data_as(ctypes.c_void_p))
-    return out
 
 
 def augment_one(image_u8: np.ndarray, pp: dict, ep, rect, mirror: bool,
