@@ -3,6 +3,8 @@ H-sharded inference must produce the SAME numbers as unsharded — XLA
 inserts conv halo exchanges; these tests prove they are lossless, for
 both the fp32 predict graph and the INT8 integer engine."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -99,3 +101,24 @@ def test_truly_spatial_sharded_int8_bit_exact(setup):
            detect_sh(shard_batch(mesh, images, spatial=True))]
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+@pytest.mark.skipif(not os.environ.get("YOLO_TPU_SLOW_TESTS"),
+                    reason="75-conv CPU compile; set YOLO_TPU_SLOW_TESTS=1")
+def test_spatial_sharded_v3_predict_equals_unsharded():
+    """Spatial sharding generalizes to the FPN family: yolo_v3's fp32
+    predict with H sharded over 'space' (conv halo exchanges + the
+    matmul upsample contracting across shards) equals unsharded."""
+    cfg = get_config("yolo_v3", "mask", input_size=(64, 64))
+    det = Detector(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    images = rng.random((4, 64, 64, 3), dtype=np.float32)
+    want = [np.asarray(a) for a in jax.jit(det._predict)(params, images)]
+
+    mesh = make_mesh(data=4, space=2)
+    got = [np.asarray(a) for a in jax.jit(det._predict)(
+        shard_params(mesh, params),
+        shard_batch(mesh, images, spatial=True))]
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-5)
