@@ -522,6 +522,11 @@ def int8_conv3x3_requant(x_q: jnp.ndarray, w_q: jnp.ndarray,
             bytes_accessed=3 * b * h * wp * c_in + 9 * c_in * c_out +
             b * h * wp * c_out,
             transcendentals=0),
+        # both grid axes are independent: lets Mosaic pipeline/parallelize
+        # freely (measured +35% on the pure int8 matmul probe,
+        # scripts/bench_int8_ceiling.py)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(views[0], views[1], views[2], w_taps, bias_rt)
     return jax.lax.slice_in_dim(out_padded, 0, w, axis=2)
