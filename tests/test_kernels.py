@@ -223,3 +223,55 @@ def test_int8_forward_pallas_matches_xla(rng):
     got = np.asarray(fp.int8_forward_pallas(m, x_q, "nearest",
                                             interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("rounding", ["nearest", "floor"])
+@pytest.mark.parametrize("sa_res", [None, 3])
+def test_res_block_kernel_bit_exact(rng, rounding, sa_res):
+    """Fused 1x1->3x3[->residual] block kernel == the chained XLA graph
+    (int_conv_requant -> int_conv_requant(residual=...))."""
+    from yolo_tpu.kernels.int8_conv import int8_res_block
+
+    B, H, W, C, CMID = 2, 8, 6, 16, 8
+    x = jnp.asarray(rng.integers(-128, 128, (B, H, W, C)), jnp.int8)
+    w1 = jnp.asarray(rng.integers(-30, 30, (1, 1, C, CMID)), jnp.int8)
+    b1 = jnp.asarray(rng.integers(-100, 100, (CMID,)), jnp.int32)
+    w2 = jnp.asarray(rng.integers(-30, 30, (3, 3, CMID, C)), jnp.int8)
+    b2 = jnp.asarray(rng.integers(-100, 100, (C,)), jnp.int32)
+    p1 = dict(sw=8, sb=7, sa_in=4, sa_out=3, retune=11)
+    p2 = dict(sw=7, sb=8, sa_in=3, sa_out=4, retune=10)
+
+    y1 = fp.int_conv_requant(x, w1, b1, padding=0, stride=1, leaky=True,
+                             rounding=rounding, **p1)
+    want = fp.int_conv_requant(
+        y1, w2, b2, padding=1, stride=1, leaky=True, rounding=rounding,
+        residual=None if sa_res is None else (x, p1["sa_in"]),
+        sa_res=sa_res, **p2)
+    got = int8_res_block(x, w1, b1, p1, w2, b2, p2, sa_res=sa_res,
+                         rounding=rounding, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("row_tile,batch_tile", [(4, 1), (3, 2), (12, 2)])
+def test_res_block_kernel_tilings(rng, row_tile, batch_tile):
+    """Row/batch tilings (incl. edge-mask chunks and nb>1 roll wrap) all
+    reproduce the exact chain."""
+    from yolo_tpu.kernels.int8_conv import int8_res_block
+
+    B, H, W, C, CMID = 4, 12, 9, 8, 8
+    x = jnp.asarray(rng.integers(-128, 128, (B, H, W, C)), jnp.int8)
+    w1 = jnp.asarray(rng.integers(-30, 30, (1, 1, C, CMID)), jnp.int8)
+    b1 = jnp.asarray(rng.integers(-100, 100, (CMID,)), jnp.int32)
+    w2 = jnp.asarray(rng.integers(-30, 30, (3, 3, CMID, C)), jnp.int8)
+    b2 = jnp.asarray(rng.integers(-100, 100, (C,)), jnp.int32)
+    p1 = dict(sw=8, sb=7, sa_in=4, sa_out=3, retune=11)
+    p2 = dict(sw=7, sb=8, sa_in=3, sa_out=5, retune=10)
+
+    y1 = fp.int_conv_requant(x, w1, b1, padding=0, stride=1, **p1)
+    want = fp.int_conv_requant(y1, w2, b2, padding=1, stride=1,
+                               residual=(x, p1["sa_in"]), sa_res=4, **p2)
+    for wide in (True, False):
+        got = int8_res_block(x, w1, b1, p1, w2, b2, p2, sa_res=4,
+                             row_tile=row_tile, batch_tile=batch_tile,
+                             wide_dx=wide, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -41,6 +41,17 @@ reliable method under the tunnel's multi-ms dispatch jitter):
   backend='xla'; the kernels remain the native reference implementation
   (selectable with backend='pallas') and the bit-exactness harness for
   the FPGA requant semantics.
+
+Round-3 closure (scripts/bench_res_stage.py + docs/PERFORMANCE.md
+"Hybrid-engine study"): the fused residual-block kernel below
+(int8_res_block — both convs + requant + residual in one kernel,
+in-VMEM im2col over the kernel-produced mid activation) embeds cleanly
+and is bit-exact, but measures 38-134 TOPS against XLA's fused conv
+stages at 85-217 across every darknet53 stage shape. int8 matmul
+throughput collapses with output width N on this chip (52 TOPS at
+N=256 vs 217 at N=1024, Pallas and XLA dot alike) while XLA's
+implicit-GEMM conv does not — so ALL serving engines stay XLA convs,
+and these kernels are reference/verification implementations.
 """
 
 from __future__ import annotations
@@ -530,3 +541,256 @@ def int8_conv3x3_requant(x_q: jnp.ndarray, w_q: jnp.ndarray,
         interpret=interpret,
     )(views[0], views[1], views[2], w_taps, bias_rt)
     return jax.lax.slice_in_dim(out_padded, 0, w, axis=2)
+
+
+def _bias_at_retune(b_q, sb: int, retune: int, rounding: str):
+    """Bias shifted to the retune scale, exactly (int32 host graph)."""
+    bofs = sb - retune
+    b32 = b_q.astype(jnp.int32)
+    if bofs <= 0:
+        return b32 * (1 << -bofs)
+    if rounding == "floor":
+        return b32 >> bofs
+    off = 1 << (bofs - 1)
+    return jnp.right_shift(b32 + off - (b32 < 0).astype(jnp.int32), bofs)
+
+
+def _res_block_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
+                      nb: int, th: int, wp: int, c: int, cmid: int,
+                      w_real: int, nt: int,
+                      acc1: int, out1: int, acc2: int, out2: int,
+                      res_sh, leaky: bool, rounding: str, wide_dx: bool):
+    """One grid step of the fused residual block: ``nb`` images x output
+    rows [ti*th, ti*th+th).
+
+    x_ref: [nb, 1, th+2, wp, C] int8 — row chunk with 1-row halo each
+      side (image pixels sit at columns [1, w_real+1)).
+    w1_ref: [C, Cmid] int8 — the block's 1x1 reduce conv.
+    w2_ref: [3, Cmid, 3*C] (wide_dx) or [3, 3, Cmid, C] int8 — 3x3 conv.
+    b*_ref: [1, ·] int32 — biases already at their retune scales.
+    out_ref: [nb, 1, th, wp, C] int8 — conv2 output aligned WITH the
+      input columns (valid at [1, w_real+1); caller crops), so the
+      residual operand is the x chunk itself.
+
+    The 1x1 conv runs on all th+2 rows (halo recompute — exact, y1 is a
+    deterministic int8 requant); its output is masked to zero outside
+    the image so the 3x3 sees true zero padding. dx taps come from
+    pltpu.roll of the int32 product by (1-dx) mod m; wrapped rows land
+    only in cropped padding columns.
+    """
+    shift = (_shift_round_nearest if rounding == "nearest"
+             else _shift_floor)
+    hp = th + 2
+    mh = nb * hp * wp
+    m = nb * th * wp
+    ti = pl.program_id(1)
+
+    # ---- conv1: 1x1 reduce on all rows (incl. halo) ----
+    xf = x_ref[...].reshape(mh, c)
+    a1 = jax.lax.dot_general(
+        xf, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    a1 = shift(a1, acc1) + b1_ref[0][None, :]
+    a1 = jnp.clip(a1, INT16_MIN, INT16_MAX)
+    if leaky:
+        a1 = jnp.where(a1 >= 0, a1, shift(a1, 3))
+    y1 = jnp.clip(shift(a1, out1), INT8_MIN, INT8_MAX).astype(jnp.int8)
+
+    # zero y1 outside the image: the 3x3 pads Y1 with zeros, not with
+    # requant(bias)-of-zero-input values
+    y1 = y1.reshape(nb, hp, wp, cmid)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wp, 1), 2)
+    ok = jnp.logical_and(col >= 1, col <= w_real)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, hp, 1, 1), 1)
+    ok = jnp.logical_and(ok, jnp.logical_or(ti > 0, row > 0))
+    ok = jnp.logical_and(ok, jnp.logical_or(ti < nt - 1, row < hp - 1))
+    y1 = jnp.where(ok, y1, jnp.int8(0))
+
+    # ---- conv2: 3x3 over y1 ----
+    if wide_dx == "im2col":
+        # Full in-VMEM im2col: dx taps are int32 rolls of the MASKED y1
+        # (the zeroed pad columns make every wrap-around element an
+        # exact zero), dy taps are row slices; one [m, 9*Cmid] x
+        # [9*Cmid, C] matmul — contraction 9*Cmid instead of Cmid, the
+        # difference between ~80 and >150 TOPS on the 52^2 C256 stage.
+        y1f = y1.reshape(mh, cmid)
+        packs = []
+        for dx in range(3):
+            k = (1 - dx) % mh
+            r = y1f if k == 0 else pltpu.roll(
+                y1f.astype(jnp.int32), k, axis=0).astype(jnp.int8)
+            packs.append(r)
+        x3 = jnp.concatenate(packs, axis=1).reshape(nb, hp, wp, 3 * cmid)
+        col = jnp.concatenate(
+            [jax.lax.slice_in_dim(x3, dy, dy + th, axis=1
+                                  ).reshape(m, 3 * cmid)
+             for dy in range(3)], axis=1)  # [m, 9*Cmid], (dy,dx,ci) order
+        acc = jax.lax.dot_general(
+            col, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    else:
+        # dy via row slices, dx via rolls of the int32 product
+        taps = [jax.lax.slice_in_dim(y1, dy, dy + th, axis=1
+                                     ).reshape(m, cmid) for dy in range(3)]
+        acc = jnp.zeros((m, c), jnp.int32)
+        for dy in range(3):
+            if wide_dx:
+                p3 = jax.lax.dot_general(
+                    taps[dy], w2_ref[dy],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)  # [m, 3*C]
+                ps = [jax.lax.slice_in_dim(p3, dx * c, (dx + 1) * c,
+                                           axis=1) for dx in range(3)]
+            else:
+                ps = [jax.lax.dot_general(
+                    taps[dy], w2_ref[dy, dx],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32) for dx in range(3)]
+            for dx in range(3):
+                k = (1 - dx) % m
+                acc = acc + (ps[dx] if k == 0 else
+                             pltpu.roll(ps[dx], k, axis=0))
+
+    a2 = shift(acc, acc2) + b2_ref[0][None, :]
+    a2 = jnp.clip(a2, INT16_MIN, INT16_MAX)
+    if leaky:
+        a2 = jnp.where(a2 >= 0, a2, shift(a2, 3))
+    o = jnp.clip(shift(a2, out2), INT8_MIN, INT8_MAX)
+
+    if res_sh is not None:
+        sh_a, sh_b, sh_out = res_sh
+        xc = jax.lax.slice_in_dim(
+            x_ref[...].reshape(nb, hp, wp, c), 1, th + 1, axis=1
+        ).reshape(m, c)
+        va = o * (1 << sh_a)
+        vb = xc.astype(jnp.int32) * (1 << sh_b)
+        o = jnp.clip(shift(va + vb, sh_out), INT8_MIN, INT8_MAX)
+
+    out_ref[...] = o.astype(jnp.int8).reshape(nb, 1, th, wp, c)
+
+
+def int8_res_block(x_q: jnp.ndarray, w1_q: jnp.ndarray, b1_q: jnp.ndarray,
+                   p1: dict, w2_q: jnp.ndarray, b2_q: jnp.ndarray,
+                   p2: dict, *, sa_res: Optional[int] = None,
+                   leaky: bool = True, rounding: str = "nearest",
+                   row_tile: Optional[int] = None,
+                   batch_tile: Optional[int] = None,
+                   wide_dx: Optional[bool] = None,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Fused darknet residual block, one Pallas kernel: int8 [B,H,W,C] ->
+    1x1 conv+requant (C->Cmid) -> 3x3 conv(s1,p1)+requant (Cmid->C) ->
+    residual add+requant with the input -> int8 [B,H,W,C].
+
+    Bit-exact with the chained XLA graph
+    (fixed_point.int_conv_requant -> int_conv_requant(residual=...)).
+    The mid activation y1 never leaves VMEM — this is the fused-stage
+    datapath the reference accelerator pipelines per layer
+    (c_embedding/yolo_forward.c:575-770), collapsed to one kernel per
+    block. ``p1``/``p2`` carry sw, sb, sa_in, sa_out, retune exponents;
+    ``sa_res=None`` runs the conv pair without the residual add.
+    """
+    b, h, w, c = x_q.shape
+    if w1_q.ndim == 4:
+        w1_q = w1_q.reshape(w1_q.shape[-2], w1_q.shape[-1])
+    cmid = w1_q.shape[-1]
+    if p2["sa_in"] != p1["sa_out"]:
+        raise ValueError("conv2's sa_in must be conv1's sa_out")
+    if wide_dx is None:
+        wide_dx = "im2col"
+
+    wp = -(-(w + 2) // 32) * 32
+    if row_tile is None:
+        row_tile = max(1, min(h, 1024 // wp))
+    th = row_tile
+    while h % th:
+        th -= 1
+    hp, nt, m1 = th + 2, h // th, th * wp
+
+    # VMEM budget per grid step (double-buffered in/out + live values)
+    def step_bytes(nb):
+        mm = nb * m1
+        by = 2 * nb * hp * wp * c             # in (x2 pipeline)
+        by += nb * hp * wp * cmid             # y1
+        by += 4 * mm * c * 2                  # acc + product transient
+        if wide_dx == "im2col":
+            by += mm * 9 * cmid + 3 * nb * hp * wp * cmid * 4
+        elif wide_dx:
+            by += 4 * mm * 3 * c
+        by += 2 * nb * m1 * c                 # out (x2)
+        return by
+
+    nb = batch_tile or 1
+    if batch_tile is None:
+        while nb < b and step_bytes(2 * nb) < (9 << 20):
+            nb *= 2
+    while b % nb:
+        nb -= 1
+
+    x_pad = jnp.pad(x_q, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    chunks = jnp.stack(
+        [jax.lax.slice_in_dim(x_pad, i * th, i * th + hp, axis=1)
+         for i in range(nt)], axis=1)  # [B, nt, hp, wp, C]
+
+    if wide_dx == "im2col":
+        w2 = w2_q.reshape(9 * cmid, c)  # (dy, dx, ci) rows = col order
+        w2_spec = pl.BlockSpec((9 * cmid, c), lambda bb, ti: (0, 0),
+                               memory_space=pltpu.VMEM)
+    elif wide_dx:
+        w2 = jnp.concatenate([w2_q[:, dx] for dx in range(3)], axis=-1)
+        w2_spec = pl.BlockSpec((3, cmid, 3 * c), lambda bb, ti: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        w2 = w2_q
+        w2_spec = pl.BlockSpec((3, 3, cmid, c),
+                               lambda bb, ti: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+
+    b1_rt = _bias_at_retune(b1_q, p1["sb"], p1["retune"], rounding
+                            ).reshape(1, cmid)
+    b2_rt = _bias_at_retune(b2_q, p2["sb"], p2["retune"], rounding
+                            ).reshape(1, c)
+
+    res_sh = None
+    if sa_res is not None:
+        s = max(p2["sa_out"], p1["sa_in"])
+        res_sh = (s - p2["sa_out"], s - p1["sa_in"], s - sa_res)
+
+    kernel = functools.partial(
+        _res_block_kernel, nb=nb, th=th, wp=wp, c=c, cmid=cmid,
+        w_real=w, nt=nt,
+        acc1=p1["sa_in"] + p1["sw"] - p1["retune"],
+        out1=p1["retune"] - p1["sa_out"],
+        acc2=p2["sa_in"] + p2["sw"] - p2["retune"],
+        out2=p2["retune"] - p2["sa_out"],
+        res_sh=res_sh, leaky=leaky, rounding=rounding, wide_dx=wide_dx)
+
+    flops = 2 * b * h * wp * cmid * (c + 9 * c)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // nb, nt),
+        in_specs=[
+            pl.BlockSpec((nb, 1, hp, wp, c), lambda bb, ti: (bb, ti, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, cmid), lambda bb, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cmid), lambda bb, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            w2_spec,
+            pl.BlockSpec((1, c), lambda bb, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, 1, th, wp, c),
+                               lambda bb, ti: (bb, ti, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nt, th, wp, c), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=b * (h + 2 * nt) * wp * c + c * cmid * 10
+            + b * h * wp * c,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(chunks, w1_q, b1_rt, w2, b2_rt)
+    out = out.reshape(b, h, wp, c)
+    return jax.lax.slice(out, (0, 0, 1, 0), (b, h, w + 1, c))
