@@ -127,3 +127,112 @@ def test_batch_norm_train_updates_running_stats(rng):
     np.testing.assert_allclose(np.asarray(new_bn["var"]),
                                m.running_var.detach().numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# conv_block_pool_s2d: pooled-resolution space-to-depth form of
+# conv3x3(s1,p1)+BN+LeakyReLU+maxpool2x2 — must match the plain form.
+# ---------------------------------------------------------------------------
+
+
+def _bn_params(rng, c_in, c_out):
+    key = jax.random.PRNGKey(int(rng.integers(1 << 30)))
+    p = blocks.init_conv_block(key, 3, c_in, c_out, batch_norm=True)
+    # non-trivial running stats / affine so the BN path is exercised
+    p["bn"]["gamma"] = jnp.asarray(
+        rng.standard_normal(c_out, dtype=np.float32) + 1.5)
+    p["bn"]["beta"] = jnp.asarray(
+        rng.standard_normal(c_out, dtype=np.float32))
+    p["bn"]["mean"] = jnp.asarray(
+        rng.standard_normal(c_out, dtype=np.float32))
+    p["bn"]["var"] = jnp.asarray(
+        rng.random(c_out, dtype=np.float32) + 0.5)
+    return p
+
+
+def test_conv_block_pool_s2d_eval_bn(rng):
+    p = _bn_params(rng, 3, 16)
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 3), dtype=np.float32))
+    want = blocks.max_pool(blocks.conv_block(p, x, padding=1), 2, 2)
+    got = blocks.conv_block_pool_s2d(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_conv_block_pool_s2d_eval_fused(rng):
+    key = jax.random.PRNGKey(7)
+    p = blocks.init_conv(key, 3, 16, 32, bias=True)
+    x = jnp.asarray(rng.standard_normal((2, 10, 10, 16), dtype=np.float32))
+    want = blocks.max_pool(blocks.conv_block(p, x, padding=1), 2, 2)
+    got = blocks.conv_block_pool_s2d(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_conv_block_pool_s2d_train_stats_match(rng):
+    p = _bn_params(rng, 3, 8)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3), dtype=np.float32))
+    y_ref, new_ref = blocks.conv_block(p, x, padding=1, train=True)
+    want = blocks.max_pool(y_ref, 2, 2)
+    got, new_s2d = blocks.conv_block_pool_s2d(p, x, train=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    # BN running-stat updates identical: the phase axis enumerates each
+    # full-resolution conv output exactly once
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(new_s2d["bn"][k]),
+                                   np.asarray(new_ref["bn"][k]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_conv_block_pool_s2d_gradients_match(rng):
+    p = _bn_params(rng, 3, 8)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3), dtype=np.float32))
+
+    def loss_ref(p, x):
+        y, _ = blocks.conv_block(p, x, padding=1, train=True)
+        return jnp.sum(blocks.max_pool(y, 2, 2) ** 2)
+
+    def loss_s2d(p, x):
+        y, _ = blocks.conv_block_pool_s2d(p, x, train=True)
+        return jnp.sum(y ** 2)
+
+    g_ref = jax.grad(loss_ref)(p, x)
+    g_s2d = jax.grad(loss_s2d)(p, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4),
+        g_ref, g_s2d)
+
+
+def test_conv_block_pool_dispatcher(rng):
+    """Default trace is bit-identical to conv_block+max_pool; inside a
+    fast_pool_context the s2d form is used for C_in <= cin_max."""
+    p = _bn_params(rng, 3, 8)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 3), dtype=np.float32))
+    plain = blocks.max_pool(blocks.conv_block(p, x, padding=1), 2, 2)
+    np.testing.assert_array_equal(
+        np.asarray(blocks.conv_block_pool(p, x)), np.asarray(plain))
+    with blocks.fast_pool_context(cin_max=32):
+        fast = blocks.conv_block_pool(p, x)
+        s2d = blocks.conv_block_pool_s2d(p, x)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(s2d))
+    with blocks.fast_pool_context(cin_max=2):  # C_in=3 above threshold
+        off = blocks.conv_block_pool(p, x)
+    np.testing.assert_array_equal(np.asarray(off), np.asarray(plain))
+
+
+def test_fast_pool_slim_forward_close(rng):
+    """Slim forward traced under fast_pool_context stays numerically
+    close to the exact trace (same math, different summation order)."""
+    from yolo_tpu.config import get_config
+    from yolo_tpu.models import slim_yolo_v2 as slim
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(64, 64))
+    params = slim.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    ref = slim.forward(params, x, cfg)[0]
+    with blocks.fast_pool_context(cin_max=32):
+        fast = slim.forward(params, x, cfg)[0]
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)

@@ -304,3 +304,22 @@ def test_checkpoint_resume_is_bit_exact(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(want),
                     jax.tree_util.tree_leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fast_pool_step_matches_plain_step():
+    """fast_pool_cin changes summation order, not the math: one step's
+    loss and updated params stay numerically close to the exact trace."""
+    det, params, images, gt = _tiny_setup()
+    opt_a, step_a = make_train_step(det.module, det.cfg,
+                                    TrainConfig(), donate=False)
+    opt_b, step_b = make_train_step(det.module, det.cfg,
+                                    TrainConfig(fast_pool_cin=32),
+                                    donate=False)
+    pa, _, ma = step_a(params, opt_a.init(params), images, gt, 1e-3)
+    pb, _, mb = step_b(params, opt_b.init(params), images, gt, 1e-3)
+    np.testing.assert_allclose(float(ma["total_loss"]),
+                               float(mb["total_loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(pa),
+                    jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)

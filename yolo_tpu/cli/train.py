@@ -76,6 +76,12 @@ def parse_args(argv=None):
     parser.add_argument("--bf16", action="store_true", default=False,
                         help="bf16 mixed-precision compute (fp32 master "
                              "params/optimizer)")
+    parser.add_argument("--fast_pool", type=int, default=0,
+                        metavar="CIN_MAX",
+                        help="trace entry conv+pool pairs (C_in <= CIN_MAX) "
+                             "at pooled resolution via space-to-depth: same "
+                             "math, MXU-tileable (try 32). 0 = exact "
+                             "reference float trace (default)")
     parser.add_argument("--eval_epoch", type=int, default=10)
     parser.add_argument("--save_folder", default="weights/")
     parser.add_argument("--num_workers", type=int, default=8)
@@ -161,7 +167,8 @@ def train(args=None):
 
     tc = TrainConfig(base_lr=args.lr, wp_epoch=args.wp_epoch,
                      max_epoch=args.max_epoch, cos=args.cos,
-                     compute_dtype="bfloat16" if args.bf16 else None)
+                     compute_dtype="bfloat16" if args.bf16 else None,
+                     fast_pool_cin=args.fast_pool)
     # data-parallel mesh over as many devices as evenly divide the batch
     # (a debug batch of 4 on 8 devices uses a 4-device mesh, not a crash)
     multihost = jax.process_count() > 1

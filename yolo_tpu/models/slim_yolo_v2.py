@@ -67,14 +67,23 @@ def forward(params, x, cfg, train: bool = False):
     new_params = dict(params) if train else None
     out = x
     for name, _, _, pool in CONV_LAYERS:
-        if train:
+        if pool:
+            # conv+pool pairs route through the dispatcher: identical to
+            # conv_block + max_pool unless a blocks.fast_pool_context is
+            # active at trace time (then entry layers take the
+            # pooled-resolution s2d form).
+            if train:
+                out, new_layer = blocks.conv_block_pool(
+                    params[name], out, train=True)
+                new_params[name] = new_layer
+            else:
+                out = blocks.conv_block_pool(params[name], out)
+        elif train:
             out, new_layer = blocks.conv_block(
                 params[name], out, padding=1, train=True)
             new_params[name] = new_layer
         else:
             out = blocks.conv_block(params[name], out, padding=1)
-        if pool:
-            out = blocks.max_pool(out, 2, 2)
     pred = blocks.pred_conv(params["pred"], out, padding=1)
     outputs = [pred]
     if train:

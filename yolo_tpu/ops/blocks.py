@@ -198,6 +198,148 @@ def conv_block(params, x, stride: int = 1, padding: int = 0,
     return y
 
 
+def s2d_pool_weights(w):
+    """[3,3,C,Cout] conv weights -> [2,2,4C,4Cout] phase-packed block-conv
+    weights over a space-to-depth input (trace-compatible, differentiable
+    float analogue of quant.fixed_point._s2d_phase_weights: built from
+    pad/reshape/concat so gradients flow back to ``w``)."""
+    c_in, c_out = w.shape[2], w.shape[3]
+    phases = []
+    for a in range(2):          # pool phase row
+        for b_ in range(2):     # pool phase col
+            wp = jnp.pad(w, ((a, 1 - a), (b_, 1 - b_), (0, 0), (0, 0)))
+            wp = wp.reshape(2, 2, 2, 2, c_in, c_out
+                            ).transpose(0, 2, 1, 3, 4, 5)
+            phases.append(wp.reshape(2, 2, 4 * c_in, c_out))
+    return jnp.concatenate(phases, axis=-1)
+
+
+def conv_block_pool_s2d(params, x, slope: float = MODEL_LEAKY_SLOPE,
+                        train: bool = False):
+    """conv3x3(s1,p1) + BN + LeakyReLU + 2x2/2 maxpool, computed AT
+    POOLED RESOLUTION via space-to-depth — the float analogue of
+    quant.fixed_point.int8_conv_pool_s2d.
+
+    Small-C_in convs (conv1's C_in=3) can't tile onto the MXU and run on
+    the VPU: conv1 alone is ~49% of slim's bf16 forward at 416² b128
+    (5.3 of 10.8 ms, prefix-delta measured). Space-to-depth turns the
+    pool structure into channels: conv+pool becomes one 2x2 block conv
+    with contraction 16*C_in and 4*C_out phase-packed outputs, followed
+    by BN/activation per phase and a channel-group max.
+
+    Semantically EQUAL to conv_block(...) + max_pool(2,2) — the four
+    phase groups together hold every full-resolution conv output exactly
+    once, so BN train statistics, quantization taps (pre and post), and
+    the activation see the same value multiset, and the phase max IS the
+    2x2 pool — up to float summation order (not bit-identical; use for
+    speed, not for torch-parity golden tests). Requires even H, W.
+    """
+    b, h, w_, c = x.shape
+    c_out = params["w"].shape[-1]
+    ho, wo = h // 2, w_ // 2
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    hb, wb = (h + 6) // 2, (w_ + 6) // 2
+    x2 = xp.reshape(b, hb, 2, wb, 2, c).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, hb, wb, 4 * c)
+    w4 = s2d_pool_weights(params["w"]).astype(x2.dtype)
+    y = conv2d(x2, w4, None, padding=0)  # VALID: [b, hb-1, wb-1, 4*Cout]
+    # pooled (u,v) lives at block-conv output (u+1, v+1)
+    y = jax.lax.slice(y, (0, 1, 1, 0), (b, 1 + ho, 1 + wo, 4 * c_out))
+    if "b" in params:
+        y = y + jnp.tile(params["b"], 4).astype(y.dtype)
+    new_params = None
+    if "bn" in params:
+        bn = params["bn"]
+        if train:
+            # same stats as full-res batch_norm_train: the phase axis
+            # enumerates each conv output exactly once
+            y32 = y.astype(jnp.float32)
+            y5 = y32.reshape(b, ho, wo, 4, c_out)
+            mean = jnp.mean(y5, axis=(0, 1, 2, 3))
+            var = jnp.var(y5, axis=(0, 1, 2, 3))
+            n = b * ho * wo * 4
+            unbiased_var = var * (n / max(n - 1, 1))
+            inv = jax.lax.rsqrt(var + _BN_EPS)
+            g4, b4 = jnp.tile(bn["gamma"], 4), jnp.tile(bn["beta"], 4)
+            m4 = jnp.tile(mean, 4)
+            y = ((y32 - m4) * jnp.tile(inv, 4) * g4 + b4).astype(y.dtype)
+            momentum = 0.1
+            new_params = dict(params, bn=dict(
+                bn,
+                mean=(1 - momentum) * bn["mean"] + momentum * mean,
+                var=(1 - momentum) * bn["var"] + momentum * unbiased_var))
+        else:
+            inv = jax.lax.rsqrt(bn["var"].astype(jnp.float32) + _BN_EPS)
+            scale = jnp.tile(bn["gamma"] * inv, 4).astype(y.dtype)
+            offset = jnp.tile(
+                bn["beta"] - bn["gamma"] * bn["mean"] * inv, 4
+            ).astype(y.dtype)
+            y = y * scale + offset
+    if _QUANT_TAP is not None and hasattr(_QUANT_TAP, "pre"):
+        _QUANT_TAP.pre(y)
+    if slope is None:
+        y = jnp.maximum(y, 0.0)
+    else:
+        y = leaky_relu(y, slope)
+    if _QUANT_TAP is not None:
+        y = _QUANT_TAP(y)
+    # the 2x2 pool = max over the four phase groups (activation and
+    # fake-quant taps are monotone and per-channel, so applying them on
+    # phases then maxing equals pooling after them)
+    out = jnp.max(y.reshape(b, ho, wo, 4, c_out), axis=3)
+    if train:
+        return out, (new_params if new_params is not None else params)
+    return out
+
+
+# Trace-time switch for the s2d pooled-conv form. 0 = off (exact
+# reference float semantics). When set to a channel threshold, every
+# conv_block_pool whose C_in <= threshold traces the s2d form instead.
+_FAST_POOL_CIN_MAX = 0
+
+
+class fast_pool_context:
+    """``with fast_pool_context(cin_max=32): jit-trace the model`` —
+    conv+pool pairs with C_in <= cin_max compute at pooled resolution via
+    space-to-depth (conv_block_pool_s2d). Mathematically the same op with
+    a different float summation order; the entry convs (C_in 3..32) are
+    the ones that otherwise run VPU-bound. Trace-time only, like
+    quantization_context: the flag is read while the forward traces."""
+
+    def __init__(self, cin_max: int = 32):
+        self.cin_max = cin_max
+
+    def __enter__(self):
+        global _FAST_POOL_CIN_MAX
+        self._prev = _FAST_POOL_CIN_MAX
+        _FAST_POOL_CIN_MAX = self.cin_max
+        return self
+
+    def __exit__(self, *exc):
+        global _FAST_POOL_CIN_MAX
+        _FAST_POOL_CIN_MAX = self._prev
+        return False
+
+
+def conv_block_pool(params, x, slope: float = MODEL_LEAKY_SLOPE,
+                    train: bool = False):
+    """conv_block(3x3, s1, p1) followed by a 2x2/2 max pool.
+
+    Default trace = exactly conv_block(...) + max_pool(2,2) (bit-identical
+    with the reference float semantics). Inside a fast_pool_context, entry
+    layers trace the pooled-resolution s2d form instead.
+    """
+    c_in = params["w"].shape[2]
+    if (0 < c_in <= _FAST_POOL_CIN_MAX
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        return conv_block_pool_s2d(params, x, slope=slope, train=train)
+    if train:
+        y, new_params = conv_block(params, x, padding=1, slope=slope,
+                                   train=True)
+        return max_pool(y, 2, 2), new_params
+    return max_pool(conv_block(params, x, padding=1, slope=slope), 2, 2)
+
+
 def residual_add(y, x):
     """Residual addition with a quantization tap on the sum.
 

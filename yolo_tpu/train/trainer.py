@@ -46,6 +46,11 @@ class TrainConfig:
     # fp32 ('bfloat16' doubles MXU throughput on TPU; grads flow through
     # the cast back to fp32 master params)
     compute_dtype: Optional[str] = None
+    # trace entry conv+pool pairs with C_in <= this threshold in the
+    # pooled-resolution s2d form (blocks.conv_block_pool_s2d): same math
+    # (float summation order differs), MXU-tileable instead of VPU-bound.
+    # 0 = exact reference float trace.
+    fast_pool_cin: int = 0
 
 
 def lr_at(tc: TrainConfig, epoch: int, iteration: int,
@@ -117,6 +122,13 @@ def loss_fn(module, cfg: DetectorConfig, tc: TrainConfig, params, images,
         # in-graph (fuses into conv1; 4x less host->device traffic)
         images = det.normalize_u8(images)
     fwd = partial(det.train_outputs, module, cfg=cfg)
+    if tc.fast_pool_cin:
+        base_fwd = fwd
+
+        def fwd(params, images, _base=base_fwd):
+            from yolo_tpu.ops import blocks
+            with blocks.fast_pool_context(cin_max=tc.fast_pool_cin):
+                return _base(params, images)
     if tc.remat:
         fwd = jax.checkpoint(fwd)
     if tc.compute_dtype:
