@@ -1,0 +1,110 @@
+"""QAT (quant/qat.py): STE gradients, value-parity with the PTQ
+simulation, master-weight integrity, and loss descent under the
+fake-quant forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tpu.config import get_config
+from yolo_tpu.detector import Detector
+from yolo_tpu.quant import generic
+from yolo_tpu.quant import qat
+from yolo_tpu.quant import quantize as q
+from yolo_tpu.quant.bn_fold import fold_batch_norm
+from yolo_tpu.train.targets import build_targets
+
+
+def _frozen_state(max_abs: float):
+    st = q.tracker_init()
+    return q.tracker_update(st, jnp.asarray([max_abs]))
+
+
+def test_tracker_ste_value_matches_ptq_sim():
+    """qat.tracker_quantize_ste values == quantize.tracker_quantize
+    (update=False) values, including at and beyond the rails."""
+    st = _frozen_state(3.7)
+    x = jnp.linspace(-6.0, 6.0, 4001)
+    ours = qat.tracker_quantize_ste(st, x)
+    ref, _ = q.tracker_quantize(st, x, update=False)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_tracker_ste_gradient_clipped():
+    """Gradient is identity inside the rails, zero where the clip
+    saturates."""
+    st = _frozen_state(3.7)
+    scale = float(q.tracker_pow2(st))
+    hi = 127.0 / scale
+    g = jax.grad(lambda x: jnp.sum(qat.tracker_quantize_ste(st, x)))(
+        jnp.asarray([0.0, hi * 0.5, -hi * 0.9, hi * 2.0, -hi * 3.0]))
+    np.testing.assert_array_equal(np.asarray(g), [1.0, 1.0, 1.0, 0.0, 0.0])
+
+
+def test_weight_ste_gradient_is_identity():
+    t = jnp.asarray([-0.31, 0.002, 0.9])
+    g = jax.grad(lambda w: jnp.sum(qat.fake_quantize_ste(w)))(t)
+    np.testing.assert_array_equal(np.asarray(g), [1.0, 1.0, 1.0])
+    np.testing.assert_array_equal(
+        np.asarray(qat.fake_quantize_ste(t)), np.asarray(q.fake_quantize(t)))
+
+
+def _tiny_qat_setup(batch=2):
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(64, 64))
+    det = Detector(cfg, batch_norm=False)
+    params = fold_batch_norm(
+        Detector(cfg).init_params(jax.random.PRNGKey(0)))
+    rng = np.random.default_rng(1)
+    images = rng.random((batch, 64, 64, 3), dtype=np.float32)
+    params_q = generic.fake_quantize_all_convs(params)
+    states = generic.calibrate_generic(det.module, params_q, cfg, [images])
+    return det, params, states, images
+
+
+def test_qat_forward_matches_generic_quant_forward():
+    """The QAT module's (eval-mode) outputs are bit-identical to the
+    generic PTQ fake-quant forward with the same frozen states."""
+    det, params, states, images = _tiny_qat_setup()
+    qmod = qat.QATModule(det.module, states)
+    outs = qmod.forward(params, jnp.asarray(images), det.cfg)
+    params_q = generic.fake_quantize_all_convs(params)
+    ref, _, _ = generic.quant_forward_generic(
+        det.module, params_q, jnp.asarray(images), det.cfg, list(states))
+    for a, b in zip(outs, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_qat_step_preserves_master_weights_at_lr0():
+    """With lr=0 the masters must come back BIT-identical: the update
+    base is the fp32 tree, never the fake-quantized forward tree."""
+    det, params, states, images = _tiny_qat_setup()
+    gt = build_targets(det.cfg, [np.array([[0.2, 0.2, 0.7, 0.8, 1.0]])] * 2)
+
+    def one_batch():
+        yield images, gt
+
+    new_params, _ = qat.qat_finetune(det, params, states, one_batch(),
+                                     base_lr=0.0, steps=1)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(params)),
+                    jax.tree_util.tree_leaves(jax.device_get(new_params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_qat_finetune_reduces_fakequant_loss():
+    """Training through the STE forward on a fixed batch lowers the
+    fake-quant loss — the gradient actually flows through round/clip."""
+    det, params, states, images = _tiny_qat_setup()
+    gt = build_targets(det.cfg, [np.array([[0.2, 0.2, 0.7, 0.8, 1.0]])] * 2)
+
+    from yolo_tpu.train.trainer import TrainConfig, make_train_step
+    qmod = qat.QATModule(det.module, states)
+    tc = TrainConfig(base_lr=1e-4, wp_epoch=0)
+    opt, step = make_train_step(qmod, det.cfg, tc, donate=False)
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(10):
+        params, opt_state, metrics = step(params, opt_state, images, gt,
+                                          1e-4)
+        losses.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

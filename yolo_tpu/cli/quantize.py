@@ -25,8 +25,8 @@ from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="yolo_tpu compression")
-    parser.add_argument("stage", choices=["bnfold", "retune", "ptq",
-                                          "findbest", "export"])
+    parser.add_argument("stage", choices=["bnfold", "retune", "qat",
+                                          "ptq", "findbest", "export"])
     add_common_args(parser)
     parser.add_argument("-r", "--resume", required=False, default=None,
                         help="input checkpoint (.msgpack or .pth)")
@@ -118,6 +118,58 @@ def main(args=None):
         _maybe_eval(args, cfg, lambda im: det.detect(params, im), "retune")
         out = args.out or (args.resume or "model").replace(
             ".msgpack", "") + "_retune.msgpack"
+        save_checkpoint(out, params)
+        print(f"saved {out}")
+        return params
+
+    if args.stage == "qat":
+        # Quantization-aware fine-tune: calibrate tracker scales on the
+        # fake-quant graph, then train the fp32 masters THROUGH it with
+        # STE (quant/qat.py — the gradient step the reference's retune -q
+        # skips, retune_bias_quantize.py:358-369).
+        from yolo_tpu.data.loader import BatchLoader
+        from yolo_tpu.quant import generic
+        from yolo_tpu.quant.qat import qat_finetune
+        from yolo_tpu.train.targets import build_targets
+
+        calib = _calib_batches(args, cfg)
+        head_clip = args.head_clip
+        if isinstance(head_clip, str):
+            if head_clip == "none":
+                head_clip = None
+            elif head_clip == "auto":
+                from yolo_tpu.quant.autoclip import select_head_clip
+                head_clip, _ = select_head_clip(
+                    args.version, params, cfg, calib, verbose=True)
+                print(f"head_clip auto -> {head_clip}")
+            else:
+                head_clip = float(head_clip)
+        params_q = generic.fake_quantize_all_convs(params)
+        states = generic.calibrate_generic(
+            det.module, params_q, cfg, calib,
+            max_images=args.calib_images, head_clip=head_clip)
+
+        dataset = build_dataset(args, cfg, train=True)
+        loader = BatchLoader(dataset, args.batch_size)
+
+        def batches():
+            while True:
+                for images, targets in loader:
+                    yield images, build_targets(cfg, targets)
+
+        lr = args.lr if args.lr != 1e-7 else 1e-5  # QAT default
+        params, metrics = qat_finetune(det, params, states, batches(),
+                                       base_lr=lr, steps=args.steps)
+        if metrics is not None:
+            print("qat final loss:",
+                  float(jax.device_get(metrics["total_loss"])))
+        if not args.no_eval:
+            _, _, detect_q = generic.quantize_detector(
+                det, params, calib, fold_bn=False,
+                max_images=args.calib_images, head_clip=head_clip)
+            _maybe_eval(args, cfg, detect_q, "qat-int8sim")
+        out = args.out or (args.resume or "model").replace(
+            ".msgpack", "") + "_qat.msgpack"
         save_checkpoint(out, params)
         print(f"saved {out}")
         return params

@@ -6,6 +6,8 @@ Pipeline (mirrors the reference script chain, SURVEY.md §1):
     -> retune low-LR fine-tune (retune.py; reference retune_bias_quantize.py)
     -> PTQ calibration: pow2 weight/bias fake-quant + activation range
        trackers (ptq.py; reference retune_bias_quantize.py -q)
+    -> optional QAT: STE fine-tune THROUGH the fake-quant forward
+       (qat.py; the gradient step the reference's retune -q skips)
     -> accumulator-overflow retune-shift search (retune.py;
        reference retune_bias_quantize_findbest.py)
     -> integer INT8 graph + exported exponent tables (fixed_point.py,
