@@ -108,3 +108,52 @@ def test_qat_finetune_reduces_fakequant_loss():
         losses.append(float(metrics["total_loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_qat_finetune_rejects_bn_params():
+    """QAT on an unfolded (BN) tree would train against a grid the
+    deployed folded model never uses — must fail loudly (ADVICE r3)."""
+    import pytest
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(64, 64))
+    det = Detector(cfg, batch_norm=False)
+    params_bn = Detector(cfg).init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="BN-folded"):
+        qat.qat_finetune(det, params_bn, [], iter([]))
+
+
+def test_quantize_detector_frozen_states_are_served():
+    """Passing states= skips re-calibration: the detect fn must compute
+    with EXACTLY those scales (ADVICE r3: post-QAT eval/export must use
+    the frozen QAT states)."""
+    det, params, states, images = _tiny_qat_setup()
+    # deliberately perturb one mid-net scale so re-calibration would
+    # disagree with it
+    frozen = [dict(s) for s in states]
+    frozen[2] = _frozen_state(1e4)
+    params_q, out_states, detect = generic.quantize_detector(
+        det, params, [images], fold_bn=False, states=frozen)
+    assert out_states is frozen
+    # forward through quant_forward_generic with the same frozen states
+    ref, _, _ = generic.quant_forward_generic(
+        det.module, params_q, jnp.asarray(images), det.cfg, list(frozen))
+    from yolo_tpu import detector as D
+
+    class _M:
+        STRIDES = det.module.STRIDES
+
+        @staticmethod
+        def forward(p, x, cfg, train=False):
+            return generic.quant_forward_generic(
+                det.module, p, x, cfg, list(frozen))[0]
+
+    boxes_ref, probs_ref = D.predict(_M, params_q, jnp.asarray(images),
+                                     det.cfg)
+    got = detect(jnp.asarray(images))
+    from yolo_tpu.ops import nms
+    want = nms.batched_postprocess(
+        boxes_ref, probs_ref, det.cfg.conf_thresh, det.cfg.nms_thresh,
+        det.cfg.pre_nms_top_k, det.cfg.top_k)
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -182,3 +182,44 @@ def test_export_c_header(rng, tmp_path):
     assert "const char scale_w[10]" in text
     assert "const char scale_a[11]" in text
     assert "weight_0[" in text and "bias_9[" in text
+
+
+def test_retune_finetune_keeps_best_checkpoint():
+    """retune_finetune with eval_fn returns the BEST-scoring params seen,
+    not necessarily the last (reference retune driver per-epoch eval +
+    save-on-improvement, retune_bias_quantize.py:374-420)."""
+    import jax
+    from yolo_tpu.config import get_config
+    from yolo_tpu.detector import Detector
+    from yolo_tpu.quant.bn_fold import fold_batch_norm
+    from yolo_tpu.quant.retune import retune_finetune
+    from yolo_tpu.train.targets import build_targets
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(64, 64))
+    det = Detector(cfg, batch_norm=False)
+    params = fold_batch_norm(Detector(cfg).init_params(
+        jax.random.PRNGKey(0)))
+    rng = np.random.default_rng(3)
+    images = rng.random((2, 64, 64, 3), dtype=np.float32)
+    gt = build_targets(cfg, [np.array([[0.2, 0.2, 0.7, 0.8, 1.0]])] * 2)
+
+    def batches():
+        while True:
+            yield images, gt
+
+    # scripted eval: step 1 scores 0.9, later evals score lower -> the
+    # returned params must be the step-1 snapshot
+    scores = iter([0.9, 0.1, 0.1, 0.1, 0.1])
+    snap = {}
+
+    def eval_fn(p):
+        s = next(scores)
+        if s == 0.9:
+            snap["best"] = jax.device_get(p)
+        return s
+
+    best, _ = retune_finetune(det, params, batches(), base_lr=1e-3,
+                              steps=3, eval_fn=eval_fn, eval_every=1)
+    for a, b in zip(jax.tree_util.tree_leaves(snap["best"]),
+                    jax.tree_util.tree_leaves(jax.device_get(best))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -39,8 +39,14 @@ def parse_args(argv=None):
                              "'none', or 'auto' (sweep caps and pick by "
                              "detection agreement; quant/autoclip.py)")
     parser.add_argument("--batch_size", type=int, default=32)
-    parser.add_argument("--lr", type=float, default=1e-7)
+    parser.add_argument("--lr", type=float, default=None,
+                        help="fine-tune LR (default: 1e-7 for retune, "
+                             "1e-5 for qat)")
     parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--eval_every", type=int, default=0,
+                        help="retune: eval every N steps and keep the "
+                             "best checkpoint (0 = once per dataset "
+                             "epoch, like the reference driver)")
     parser.add_argument("--no_eval", action="store_true", default=False)
     return parser.parse_args(argv)
 
@@ -113,9 +119,21 @@ def main(args=None):
                 for images, targets in loader:
                     yield images, build_targets(cfg, targets)
 
+        lr = args.lr if args.lr is not None else 1e-7
+        eval_fn, eval_every = None, 0
+        if not args.no_eval:
+            # per-"epoch" eval + best-checkpoint selection, matching the
+            # reference driver (retune_bias_quantize.py:374-420)
+            val = build_dataset(args, cfg, train=False)
+            ev = VOCEvaluator(val, cfg.num_classes, cfg.input_size,
+                              batch_size=args.batch_size)
+            eval_fn = lambda p: ev.evaluate(lambda im: det.detect(p, im))
+            eval_every = args.eval_every or max(
+                1, len(dataset) // args.batch_size)
         params, metrics = retune_finetune(det, params, batches(),
-                                          base_lr=args.lr, steps=args.steps)
-        _maybe_eval(args, cfg, lambda im: det.detect(params, im), "retune")
+                                          base_lr=lr, steps=args.steps,
+                                          eval_fn=eval_fn,
+                                          eval_every=eval_every)
         out = args.out or (args.resume or "model").replace(
             ".msgpack", "") + "_retune.msgpack"
         save_checkpoint(out, params)
@@ -157,16 +175,20 @@ def main(args=None):
                 for images, targets in loader:
                     yield images, build_targets(cfg, targets)
 
-        lr = args.lr if args.lr != 1e-7 else 1e-5  # QAT default
+        lr = args.lr if args.lr is not None else 1e-5  # QAT default
         params, metrics = qat_finetune(det, params, states, batches(),
                                        base_lr=lr, steps=args.steps)
         if metrics is not None:
             print("qat final loss:",
                   float(jax.device_get(metrics["total_loss"])))
         if not args.no_eval:
+            # Serve/eval with the FROZEN states QAT trained against —
+            # re-calibrating on the tuned weights could shift a pow2
+            # exponent away from the trained grid.
             _, _, detect_q = generic.quantize_detector(
                 det, params, calib, fold_bn=False,
-                max_images=args.calib_images, head_clip=head_clip)
+                max_images=args.calib_images, head_clip=head_clip,
+                states=states)
             _maybe_eval(args, cfg, detect_q, "qat-int8sim")
         out = args.out or (args.resume or "model").replace(
             ".msgpack", "") + "_qat.msgpack"

@@ -104,6 +104,62 @@ def voc_eval_class(dets_per_image: List[np.ndarray],
     return (ap, rec, prec) if return_pr else ap
 
 
+def map_from_raw(dets, gts, image_idx: Optional[Sequence[int]] = None,
+                 use_07_metric: bool = True) -> float:
+    """mAP from raw per-class/per-image detections and GTs, optionally
+    restricted to a (possibly repeating) list of image indices — the
+    resampling primitive for the bootstrap CIs below."""
+    num_classes = len(dets)
+    aps = []
+    for cls in range(num_classes):
+        if image_idx is None:
+            d, g = dets[cls], gts[cls]
+        else:
+            d = [dets[cls][i] for i in image_idx]
+            g = [gts[cls][i] for i in image_idx]
+        aps.append(voc_eval_class(d, g, use_07_metric=use_07_metric))
+    return float(np.mean(aps))
+
+
+def bootstrap_map_ci(dets, gts, n_boot: int = 500, seed: int = 0,
+                     alpha: float = 0.05, use_07_metric: bool = True):
+    """Percentile bootstrap CI on mAP (resampling IMAGES with
+    replacement). Returns (map, lo, hi)."""
+    n = len(dets[0])
+    rng = np.random.default_rng(seed)
+    stats = np.empty(n_boot)
+    for b in range(n_boot):
+        idx = rng.integers(0, n, n)
+        stats[b] = map_from_raw(dets, gts, idx, use_07_metric)
+    lo, hi = np.quantile(stats, [alpha / 2, 1 - alpha / 2])
+    return (map_from_raw(dets, gts, None, use_07_metric),
+            float(lo), float(hi))
+
+
+def bootstrap_delta_ci(dets_a, dets_b, gts, n_boot: int = 500,
+                       seed: int = 0, alpha: float = 0.05,
+                       use_07_metric: bool = True):
+    """PAIRED percentile-bootstrap CI on mAP(a) - mAP(b).
+
+    The same resampled image set scores both stages in each replicate,
+    so shared per-image difficulty cancels — the right statistic for the
+    reference's <=0.5-mAP-drop acceptance bar (BASELINE.md), which is a
+    statement about the *delta*, not the absolute mAPs. Returns
+    (delta, lo, hi) in mAP points (x100 of the raw fraction is up to the
+    caller)."""
+    n = len(gts[0])
+    rng = np.random.default_rng(seed)
+    stats = np.empty(n_boot)
+    for b in range(n_boot):
+        idx = rng.integers(0, n, n)
+        stats[b] = (map_from_raw(dets_a, gts, idx, use_07_metric) -
+                    map_from_raw(dets_b, gts, idx, use_07_metric))
+    lo, hi = np.quantile(stats, [alpha / 2, 1 - alpha / 2])
+    delta = (map_from_raw(dets_a, gts, None, use_07_metric) -
+             map_from_raw(dets_b, gts, None, use_07_metric))
+    return float(delta), float(lo), float(hi)
+
+
 class VOCEvaluator:
     """mAP evaluator over any dataset with pull_item/pull_anno.
 
@@ -186,6 +242,9 @@ class VOCEvaluator:
         self.map = float(np.mean(aps))
         self.class_aps = aps
         self.pr_curves = pr_curves
+        # raw per-class/per-image detections + GTs, for the bootstrap
+        # CI helpers above (map_from_raw / bootstrap_delta_ci)
+        self.raw = (dets, gts)
         if self.output_dir:
             self._persist(dets, pr_curves)
         return self.map

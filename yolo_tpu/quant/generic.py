@@ -146,8 +146,13 @@ def calibrate_generic(module, params_q, cfg, batches: Iterable,
 
 def quantize_detector(det, params, calib_batches, fold_bn: bool = True,
                       max_images: int = 1000, bitwidth: int = 8,
-                      head_clip: float = None):
+                      head_clip: float = None, states=None):
     """Full generic PTQ: (fold BN ->) fake-quant weights -> calibrate.
+
+    Pass ``states`` (a call-ordered tracker-state list) to SKIP
+    calibration and serve with those frozen scales — e.g. the exact
+    states a QAT fine-tune trained against (re-calibrating on the tuned
+    weights could move a pow2 exponent and break the trained grid).
 
     Returns (params_q, tracker_states, detect_fn) where detect_fn is the
     jitted quantized batched detector with the same signature as
@@ -158,9 +163,10 @@ def quantize_detector(det, params, calib_batches, fold_bn: bool = True,
 
     fused = fold_batch_norm(params) if fold_bn else params
     params_q = fake_quantize_all_convs(fused, bitwidth)
-    states = calibrate_generic(det.module, params_q, det.cfg,
-                               list(calib_batches), max_images, bitwidth,
-                               head_clip=head_clip)
+    if states is None:
+        states = calibrate_generic(det.module, params_q, det.cfg,
+                                   list(calib_batches), max_images,
+                                   bitwidth, head_clip=head_clip)
     cfg = det.cfg
 
     class _QModule:

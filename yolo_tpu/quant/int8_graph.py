@@ -113,21 +113,29 @@ def quantize_pipeline(params_fp32, cfg: DetectorConfig,
                       calib_batches: Iterable[np.ndarray],
                       fold_bn: bool = True,
                       max_images: int = 1000,
-                      head_clip: Optional[float] = None) -> fp.Int8Model:
+                      head_clip: Optional[float] = None,
+                      states: Optional[dict] = None) -> fp.Int8Model:
     """Full PTQ pipeline: fold BN -> fake-quant weights -> calibrate
     activation ranges -> search retune shifts -> integer model.
 
     One function replacing the reference's four-script chain
     (conv+bn2conv.py -> retune_bias_quantize.py -q ->
     retune_bias_quantize_findbest.py -> manual weight export).
+
+    Pass ``states`` (a qsim tracker-state dict) to SKIP calibration and
+    build the engine on those frozen activation scales — e.g. the exact
+    states a QAT fine-tune trained against. The retune-shift search
+    still runs (it depends on the weights, not on new data).
     """
     from yolo_tpu.quant.bn_fold import fold_batch_norm
 
     calib_batches = list(calib_batches)
     fused = fold_batch_norm(params_fp32) if fold_bn else params_fp32
     params_q = qsim.fake_quantize_params(fused)
-    states = qsim.calibrate(params_q, cfg, calib_batches,
-                            max_images=max_images, head_clip=head_clip)
+    if states is None:
+        states = qsim.calibrate(params_q, cfg, calib_batches,
+                                max_images=max_images,
+                                head_clip=head_clip)
     retune = qsim.find_retune_exponents(params_q, cfg, states,
                                         calib_batches)
     return fp.quantize_model(fused, states, retune)

@@ -145,6 +145,31 @@ def states_from_qsim(tracker_states: dict) -> List[dict]:
     return [tracker_states[n] for n in TRACKER_NAMES]
 
 
+def _assert_bn_free(params, where: str):
+    """QAT must run on a BN-FOLDED tree: fake-quantizing raw conv weights
+    that a following BN rescales would train against a quantization grid
+    the deployed (folded) model never uses. Fail loudly instead."""
+    bad = []
+
+    def walk(p, path):
+        if isinstance(p, dict):
+            if "bn" in p:
+                bad.append(path or "<root>")
+            for k, v in p.items():
+                walk(v, f"{path}/{k}" if path else k)
+        elif isinstance(p, (list, tuple)):
+            for i, v in enumerate(p):
+                walk(v, f"{path}[{i}]")
+
+    walk(params, "")
+    if bad:
+        raise ValueError(
+            f"{where} requires a BN-folded param tree (batch_norm=False);"
+            f" found 'bn' entries at: {bad[:5]}"
+            f"{' ...' if len(bad) > 5 else ''}. Run quant.bn_fold."
+            "fold_batch_norm (CLI: quantize bnfold) first.")
+
+
 def qat_finetune(det, params_fused, states: Sequence[dict],
                  batches_with_targets, base_lr: float = 1e-5,
                  steps: int = 100, bitwidth: int = 8, mesh=None):
@@ -162,6 +187,7 @@ def qat_finetune(det, params_fused, states: Sequence[dict],
     """
     from yolo_tpu.train.trainer import TrainConfig, make_train_step
 
+    _assert_bn_free(params_fused, "qat_finetune")
     qmod = QATModule(det.module, states, bitwidth)
     tc = TrainConfig(base_lr=base_lr, wp_epoch=0)
     opt, step = make_train_step(qmod, det.cfg, tc, mesh=mesh,

@@ -129,7 +129,14 @@ class StreamingDetector:
         with ThreadPoolExecutor(1) as ex:
 
             def stage(frames):
-                return frames, self.preprocess(frames)
+                # device_put here (not in the consumer): the transfer of
+                # batch n+1 overlaps the device compute of batch n, and
+                # the jit call later dispatches on an already-committed
+                # array (dispatch-with-numpy-operand transfers
+                # synchronously — ~10x the cost of a plain device_put
+                # over a high-latency link).
+                import jax
+                return frames, jax.device_put(self.preprocess(frames))
 
             try:
                 fut = ex.submit(stage, next(it))
@@ -179,14 +186,19 @@ class StreamingDetector:
 
         if overlap:
             from concurrent.futures import ThreadPoolExecutor
+
+            def stage():
+                # preprocess + H2D both in the producer thread (see
+                # detect_stream.stage for why device_put lives here)
+                return jax.device_put(
+                    self.preprocess(frames[:self.batch_size]))
+
             with ThreadPoolExecutor(1) as ex:
-                fut = ex.submit(self.preprocess,
-                                frames[:self.batch_size])
+                fut = ex.submit(stage)
                 t0 = time.perf_counter()
                 for _ in range(iters):
                     batch = fut.result()
-                    fut = ex.submit(self.preprocess,
-                                    frames[:self.batch_size])
+                    fut = ex.submit(stage)
                     out = self.detect_fn(batch)
                 jax.device_get(out)
                 dt = time.perf_counter() - t0
