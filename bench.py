@@ -22,7 +22,8 @@ import numpy as np
 
 
 def bench(batch: int = 256, size: int = 416, iters: int = 30,
-          warmup: int = 5, backend: str = "xla", input_mode: str = "s2d"):
+          warmup: int = 5, backend: str = "xla", input_mode: str = "s2d",
+          pack_tail: bool = False, e2e: bool = True):
     import jax
 
     from yolo_tpu.config import get_config
@@ -36,8 +37,9 @@ def bench(batch: int = 256, size: int = 416, iters: int = 30,
                      pre_nms_top_k=128)
 
     fn, m = build_int8_detect(cfg, backend=backend,
-                              input_s2d=(input_mode == "s2d"))
-    variant = f"INT8/{backend}"
+                              input_s2d=(input_mode == "s2d"),
+                              pack_tail=pack_tail)
+    variant = f"INT8/{backend}" + ("+pack4" if pack_tail else "")
 
     rng = np.random.default_rng(0)
     images = rng.random((batch, size, size, 3), dtype=np.float32)
@@ -72,6 +74,8 @@ def bench(batch: int = 256, size: int = 416, iters: int = 30,
     # last-line parse keeps the headline. The e2e number is host-CPU
     # bound on this 1-CPU harness — recorded for honesty, not tuned.
     try:
+        if not e2e:
+            raise RuntimeError("e2e disabled")
         e2e = bench_e2e(cfg, m, size=size)
         print(json.dumps({
             "metric": "images/sec end-to-end (slim_yolo_v2 INT8 s2d, "
@@ -121,10 +125,13 @@ if __name__ == "__main__":
     p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     p.add_argument("--input", default="s2d",
                    choices=["f32", "int8", "s2d"])
+    p.add_argument("--pack_tail", action="store_true", default=False)
+    p.add_argument("--no_e2e", action="store_true", default=False)
     a = p.parse_args()
     try:
         bench(batch=a.batch, size=a.size, iters=a.iters,
-              backend=a.backend, input_mode=a.input)
+              backend=a.backend, input_mode=a.input,
+              pack_tail=a.pack_tail, e2e=not a.no_e2e)
     except Exception as e:
         # LOUD failure: the INT8 serving pipeline is the product; never
         # fall back to measuring something else.

@@ -1,20 +1,22 @@
 """mAP-delta quantization parity for the v3 family (VERDICT r1 item #6).
 
 Same harness as scripts/quant_parity.py but for tiny_yolo_v3 / yolo_v3 /
-yolo_v3_spp: train on the synthetic set, then measure mAP at
+yolo_v3_spp / yolo_v2: train on the synthetic set, then measure mAP at
 
   FP32 -> fake-quant INT8 (PTQ sim) -> true-integer INT8 engine
+  (+ QAT fine-tune vs PTQ, served on QAT's frozen states)
 
-and report the deltas. Acceptance: integer engine within 0.5 mAP of the
-fake-quant sim (the corrcoef>0.95 unit check is necessary but weak — a
-systematically biased layer can pass it; mAP-delta is the real bar).
+and report the deltas, each with a PAIRED bootstrap 95% CI over the
+512-image val split (VERDICT r3 next #1: the old 48-image split made
+the <=0.5-point bar statistically meaningless).
 
-Run on TPU:  python scripts/quant_parity_v3.py -v tiny_yolo_v3
+Run on TPU:  python scripts/quant_parity_v3.py -v yolo_v3 --epochs 150
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -28,14 +30,37 @@ import numpy as np
 from yolo_tpu.config import get_config
 from yolo_tpu.data import BaseTransform, BatchLoader, SyntheticDetection
 from yolo_tpu.detector import Detector
-from yolo_tpu.eval.voc_eval import VOCEvaluator
+from yolo_tpu.eval.voc_eval import VOCEvaluator, bootstrap_delta_ci
 from yolo_tpu.train.targets import build_targets
 from yolo_tpu.train.trainer import TrainConfig, lr_at, make_train_step
 from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
 
-def main(version: str = "tiny_yolo_v3", epochs: int = 40, size: int = 64,
-         batch: int = 16, skip_train: bool = False):
+def build_integer(version, params, cfg, calib, head_clip=None,
+                  fold_bn=True, states=None):
+    """(Int8 model, jitted detect) for any family, optionally on frozen
+    tracker states (the QAT serving path)."""
+    kw = dict(head_clip=head_clip, fold_bn=fold_bn, states=states)
+    if version == "tiny_yolo_v3":
+        from yolo_tpu.quant.int8_models import (
+            make_int8_tiny_detect_fn, quantize_pipeline_tiny)
+        m = quantize_pipeline_tiny(params, cfg, calib, **kw)
+        return m, make_int8_tiny_detect_fn(m, cfg)
+    if version == "yolo_v2":
+        from yolo_tpu.quant.int8_models import (
+            make_int8_yolo_v2_detect_fn, quantize_pipeline_yolo_v2)
+        m = quantize_pipeline_yolo_v2(params, cfg, calib, **kw)
+        return m, make_int8_yolo_v2_detect_fn(m, cfg)
+    from yolo_tpu.quant.int8_yolo_v3 import (
+        make_int8_yolo_v3_detect_fn, quantize_pipeline_yolo_v3)
+    m = quantize_pipeline_yolo_v3(params, cfg, calib,
+                                  spp=version.endswith("_spp"), **kw)
+    return m, make_int8_yolo_v3_detect_fn(m, cfg)
+
+
+def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
+         batch: int = 16, val_images: int = 512, qat_steps: int = 300,
+         skip_train: bool = False, n_boot: int = 300):
     ckpt = f"/tmp/quant_parity_{version}.msgpack"
     cfg = get_config(version, "mask", input_size=(size, size),
                      conf_thresh=0.01)
@@ -44,11 +69,12 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 40, size: int = 64,
 
     train_ds = SyntheticDetection((size, size), num_classes=2, length=128,
                                   transform=BaseTransform((size, size)))
-    val_ds = SyntheticDetection((size, size), num_classes=2, length=48,
+    val_ds = SyntheticDetection((size, size), num_classes=2,
+                                length=val_images,
                                 transform=BaseTransform((size, size)),
                                 seed=99)
     loader = BatchLoader(train_ds, batch, num_workers=4)
-    evaluator = VOCEvaluator(val_ds, 2, (size, size), batch_size=16)
+    evaluator = VOCEvaluator(val_ds, 2, (size, size), batch_size=64)
 
     if skip_train and os.path.exists(ckpt):
         params, _ = load_checkpoint(ckpt)
@@ -71,9 +97,14 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 40, size: int = 64,
                       f"({time.time() - t0:.0f}s)", flush=True)
         save_checkpoint(ckpt, params)
 
-    results = {}
-    results["fp32"] = evaluator.evaluate(lambda im: det.detect(params, im))
-    print(f"fp32 mAP = {results['fp32']:.4f}", flush=True)
+    results, raw = {}, {}
+
+    def run_stage(name, detect):
+        results[name] = evaluator.evaluate(detect)
+        raw[name] = evaluator.raw
+        print(f"  [{name}] mAP = {results[name]:.4f}", flush=True)
+
+    run_stage("fp32", lambda im: det.detect(params, im))
 
     calib = [imgs for imgs, _ in
              list(BatchLoader(train_ds, 16, shuffle=False,
@@ -83,77 +114,82 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 40, size: int = 64,
     from yolo_tpu.quant.generic import quantize_detector
 
     _, _, fq_detect = quantize_detector(det, params, calib)
-    results["int8_fakequant"] = evaluator.evaluate(
-        lambda im: fq_detect(np.asarray(im, np.float32)))
-    print(f"fake-quant mAP = {results['int8_fakequant']:.4f}", flush=True)
+    run_stage("int8_fakequant",
+              lambda im: fq_detect(np.asarray(im, np.float32)))
 
-    # true integer engine
-    if version == "tiny_yolo_v3":
-        from yolo_tpu.quant.int8_models import (
-            make_int8_tiny_detect_fn, quantize_pipeline_tiny)
-        m = quantize_pipeline_tiny(params, cfg, calib)
-        int_detect = make_int8_tiny_detect_fn(m, cfg)
-    elif version == "yolo_v2":
-        from yolo_tpu.quant.int8_models import (
-            make_int8_yolo_v2_detect_fn, quantize_pipeline_yolo_v2)
-        m = quantize_pipeline_yolo_v2(params, cfg, calib)
-        int_detect = make_int8_yolo_v2_detect_fn(m, cfg)
-    else:
-        from yolo_tpu.quant.int8_yolo_v3 import (
-            make_int8_yolo_v3_detect_fn, quantize_pipeline_yolo_v3)
-        m = quantize_pipeline_yolo_v3(params, cfg, calib,
-                                      spp=version.endswith("_spp"))
-        int_detect = make_int8_yolo_v3_detect_fn(m, cfg)
-    results["int8_integer"] = evaluator.evaluate(
-        lambda im: int_detect(np.asarray(im, np.float32)))
-    print(f"integer mAP = {results['int8_integer']:.4f}", flush=True)
+    # true integer engine: plain, hand-picked head clip, autoclip
+    _, int_detect = build_integer(version, params, cfg, calib)
+    run_stage("int8_integer",
+              lambda im: int_detect(np.asarray(im, np.float32)))
 
-    # head-clip variant: cap the prediction-head tracker range so box/
-    # class channels keep resolution (objectness logits saturate through
-    # sigmoid anyway) — the fix that put the slim engine at FP32 parity
-    # (docs/PARITY.md).
-    if version == "tiny_yolo_v3":
-        m_hc = quantize_pipeline_tiny(params, cfg, calib, head_clip=16.0)
-        int_detect_hc = make_int8_tiny_detect_fn(m_hc, cfg)
-    elif version == "yolo_v2":
-        m_hc = quantize_pipeline_yolo_v2(params, cfg, calib,
-                                         head_clip=16.0)
-        int_detect_hc = make_int8_yolo_v2_detect_fn(m_hc, cfg)
-    else:
-        m_hc = quantize_pipeline_yolo_v3(params, cfg, calib,
-                                         spp=version.endswith("_spp"),
-                                         head_clip=16.0)
-        int_detect_hc = make_int8_yolo_v3_detect_fn(m_hc, cfg)
-    results["int8_integer_headclip"] = evaluator.evaluate(
-        lambda im: int_detect_hc(np.asarray(im, np.float32)))
-    print(f"integer+headclip mAP = "
-          f"{results['int8_integer_headclip']:.4f}", flush=True)
+    _, int_detect_hc = build_integer(version, params, cfg, calib,
+                                     head_clip=16.0)
+    run_stage("int8_headclip",
+              lambda im: int_detect_hc(np.asarray(im, np.float32)))
 
-    # automatic cap selection (quant/autoclip.py): label-free detection
-    # agreement on the calibration batches, no hand-picked constant
     from yolo_tpu.quant.autoclip import select_head_clip
-    from yolo_tpu.quant.dispatch import build_int8_detector
 
     auto_cap, _scores = select_head_clip(version, params, cfg, calib,
                                          verbose=True)
-    _, int_detect_auto = build_int8_detector(version, params, cfg, calib,
-                                             head_clip=auto_cap)
-    results[f"int8_integer_autoclip[{auto_cap}]"] = evaluator.evaluate(
-        lambda im: int_detect_auto(np.asarray(im, np.float32)))
-    print(f"integer+autoclip({auto_cap}) mAP = "
-          f"{results[f'int8_integer_autoclip[{auto_cap}]']:.4f}",
-          flush=True)
+    _, int_detect_auto = build_integer(version, params, cfg, calib,
+                                       head_clip=auto_cap)
+    run_stage(f"int8_autoclip[{auto_cap}]",
+              lambda im: int_detect_auto(np.asarray(im, np.float32)))
 
-    best_int = max(results["int8_integer"],
-                   results["int8_integer_headclip"],
-                   results[f"int8_integer_autoclip[{auto_cap}]"])
-    delta = results["int8_fakequant"] - best_int
-    print(f"\n=== {version} parity ===")
+    # ---- QAT (VERDICT r3 next #2): fine-tune against the frozen grid,
+    # serve the integer engine on the SAME frozen states.
+    if qat_steps > 0:
+        from yolo_tpu.quant.bn_fold import fold_batch_norm
+        from yolo_tpu.quant.generic import (
+            calibrate_generic, fake_quantize_all_convs)
+        from yolo_tpu.quant.qat import qat_finetune
+
+        det_f = Detector(cfg, batch_norm=False)
+        fused = fold_batch_norm(params)
+        params_q = fake_quantize_all_convs(fused)
+        states = calibrate_generic(det.module, params_q, cfg, calib,
+                                   head_clip=auto_cap)
+
+        def qat_batches():
+            while True:
+                for images, targets in BatchLoader(train_ds, batch,
+                                                   num_workers=0):
+                    yield images, build_targets(cfg, targets)
+
+        t0 = time.time()
+        tuned, _ = qat_finetune(det_f, fused, states, qat_batches(),
+                                base_lr=1e-5, steps=qat_steps)
+        print(f"  qat: {qat_steps} steps in {time.time() - t0:.0f}s",
+              flush=True)
+        _, detect_qat = build_integer(version, tuned, cfg, calib,
+                                      fold_bn=False, states=states)
+        run_stage("int8_qat[autoclip]",
+                  lambda im: detect_qat(np.asarray(im, np.float32)))
+
+    print(f"\n=== {version} mAP by stage (vs fp32, paired bootstrap "
+          f"95% CI, {val_images} val images) ===")
+    _, gts = raw["fp32"]
+    ci_rows = {}
     for k, v in results.items():
-        print(f"  {k:24s}: {v:.4f}")
-    # mAP here is a 0..1 fraction; "within 0.5 mAP points" = 0.005
-    print(f"  best-integer vs fake-quant delta: {delta:+.4f} "
-          f"({'PASS' if delta <= 0.005 else 'CHECK'} at 0.5 points)")
+        if k == "fp32":
+            print(f"{k:>22}: {v:.4f}")
+            continue
+        d, lo, hi = bootstrap_delta_ci(raw[k][0], raw["fp32"][0], gts,
+                                       n_boot=n_boot)
+        ci_rows[k] = (d * 100, lo * 100, hi * 100)
+        print(f"{k:>22}: {v:.4f}  delta {d * 100:+.2f} pts  "
+              f"[{lo * 100:+.2f}, {hi * 100:+.2f}]")
+    best_k = max((k for k in results if k.startswith("int8_")
+                  and "fakequant" not in k), key=lambda k: results[k])
+    delta = (results["fp32"] - results[best_k]) * 100
+    ci = ci_rows[best_k]
+    print(f"\nbest int8 integer engine = {best_k}: delta {delta:.2f} mAP"
+          f" points, 95% CI [{-ci[2]:.2f}, {-ci[1]:.2f}] "
+          f"({'PASS' if delta < 0.5 else 'CHECK'} vs the <=0.5 target)")
+    with open(f"/tmp/quant_parity_{version}_results.json", "w") as f:
+        json.dump({"map": results, "delta_ci_pts": ci_rows,
+                   "val_images": val_images, "epochs": epochs}, f,
+                  indent=1)
     return results
 
 
@@ -162,11 +198,15 @@ if __name__ == "__main__":
     p.add_argument("-v", "--version", default="tiny_yolo_v3",
                    choices=["tiny_yolo_v3", "yolo_v2", "yolo_v3",
                             "yolo_v3_spp"])
-    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--size", type=int, default=64,
                    help="input size (use 128 for the stride-32 yolo_v2 "
                         "so the grid isn't 2x2)")
+    p.add_argument("--val", type=int, default=512)
+    p.add_argument("--qat_steps", type=int, default=300)
+    p.add_argument("--n_boot", type=int, default=300)
     p.add_argument("--skip_train", action="store_true")
     args = p.parse_args()
     main(args.version, epochs=args.epochs, size=args.size,
-         skip_train=args.skip_train)
+         val_images=args.val, qat_steps=args.qat_steps,
+         n_boot=args.n_boot, skip_train=args.skip_train)

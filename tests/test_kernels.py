@@ -149,6 +149,24 @@ def test_int8_forward_s2d_layers_bit_exact(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_int8_forward_pack_tail_bit_exact(rng):
+    """int8_forward(pack_tail=True) — four images 2x2-packed into one
+    spatial plane for the 26² tail with zero gutters — == plain
+    int8_forward, bit-exact (M-packing experiment, VERDICT r3 #8)."""
+    from yolo_tpu.models import slim_yolo_v2
+    from yolo_tpu.quant.int8_graph import quantize_pipeline
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    params = slim_yolo_v2.init_params(jax.random.PRNGKey(2), cfg,
+                                      batch_norm=True)
+    batches = [rng.random((4, 32, 32, 3), dtype=np.float32)]
+    m = quantize_pipeline(params, cfg, batches)
+    x_q = fp.quantize_input(jnp.asarray(batches[0]), m.sa["in"])
+    want = np.asarray(fp.int8_forward(m, x_q, "nearest"))
+    got = np.asarray(fp.int8_forward(m, x_q, "nearest", pack_tail=True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_conv_folded_residual_bit_exact(rng):
     """int_conv_requant(residual=...) == conv then int_add_requant (the
     fold keeps the identical elementwise chain inside the conv

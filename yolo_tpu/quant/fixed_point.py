@@ -257,11 +257,48 @@ def int8_conv_pool_s2d_core(x2: jnp.ndarray, w_q, b_q, *, c_in: int,
     return z
 
 
+def _pack_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] int8 -> [B/4, 2(H+1), 2(W+1), C]: four images tiled
+    2x2 in one spatial plane with one-pixel ZERO gutters between and
+    after them. A 3x3 SAME conv on the packed plane is then bit-exact
+    per image: every cross-image tap lands on a gutter zero — exactly
+    the zero padding the per-image conv would have read. (M-packing:
+    quadruples the conv's spatial rows per batch element so XLA tiles
+    the small 26² tail of slim_yolo_v2 with less padding waste.)"""
+    b, h, w, c = x.shape
+    assert b % 4 == 0, f"pack_tail needs batch % 4 == 0, got {b}"
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    xp = xp.reshape(b // 4, 2, 2, h + 1, w + 1, c)
+    xp = xp.transpose(0, 1, 3, 2, 4, 5)
+    return xp.reshape(b // 4, 2 * (h + 1), 2 * (w + 1), c)
+
+
+def _unpack_2x2(y: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Inverse of _pack_2x2 (drops the gutters)."""
+    b4, hp, wp, c = y.shape
+    y = y.reshape(b4, 2, hp // 2, 2, wp // 2, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b4 * 4, hp // 2, wp // 2, c)[:, :h, :w]
+
+
+def _gutter_mask(hp: int, wp: int) -> np.ndarray:
+    """int8 [1, hp, wp, 1] mask that re-zeroes the gutter rows/cols
+    (a conv's bias makes them nonzero; the NEXT conv must read zeros
+    there for per-image SAME-padding semantics)."""
+    mask = np.ones((1, hp, wp, 1), np.int8)
+    mask[:, hp // 2 - 1] = 0
+    mask[:, hp - 1] = 0
+    mask[:, :, wp // 2 - 1] = 0
+    mask[:, :, wp - 1] = 0
+    return mask
+
+
 def int8_forward(m: Int8Model, x_q: jnp.ndarray,
                  rounding: str = "nearest",
                  s2d_layers: tuple = (),
                  layer_impls=None,
-                 input_s2d: bool = False) -> jnp.ndarray:
+                 input_s2d: bool = False,
+                 pack_tail: bool = False) -> jnp.ndarray:
     """int8 input [B, H, W, 3] -> float head output [B, H/16, W/16, C].
 
     All conv arithmetic is int8 x int8 -> int32 on the MXU
@@ -282,14 +319,25 @@ def int8_forward(m: Int8Model, x_q: jnp.ndarray,
     layout='s2d'): conv1 runs the fused MXU conv+pool directly and the
     on-device transform cost disappears — the fastest serving input
     path.
+
+    ``pack_tail``: run the 26² tail (conv5..pred) with four images
+    packed 2x2 into one 54² spatial plane (zero gutters; bit-exact —
+    see _pack_2x2). M-packing experiment, VERDICT r3 next #8. Requires
+    batch % 4 == 0.
     """
     out = x_q
     names = list(TRACKER_NAMES)  # in, conv1..conv7(pred names), pred
     pools = {name: pool for name, _, _, pool in CONV_LAYERS}
+    tail_hw = None
+    mask = None
     for i, name in enumerate(QUANT_LAYER_NAMES):
         sa_in = m.sa[names[i]]
         sa_out = m.sa[names[i + 1]]
         r = m.retune[name]
+        if pack_tail and name == "conv5":
+            tail_hw = (out.shape[1], out.shape[2])
+            out = _pack_2x2(out)
+            mask = jnp.asarray(_gutter_mask(out.shape[1], out.shape[2]))
         if input_s2d and i == 0:
             out = int8_conv_pool_s2d_core(
                 out, m.w_q[name], m.b_q[name], c_in=3, sw=m.sw[name],
@@ -318,6 +366,13 @@ def int8_forward(m: Int8Model, x_q: jnp.ndarray,
             acc = _leaky_int(acc, rounding, jnp)
         out = _shift(acc, r - sa_out, rounding, jnp)
         out = jnp.clip(out, INT8_MIN, INT8_MAX).astype(jnp.int8)
+        if mask is not None:
+            if name == "pred":
+                out = _unpack_2x2(out, *tail_hw)
+            else:
+                # re-zero the gutters (the conv bias made them nonzero);
+                # a {0,1} int8 multiply fuses into the requant epilogue
+                out = out * mask
         # NOTE: pooling stays AFTER requant (int8). Max commutes with the
         # monotone requant chain either way, but XLA fuses the requant
         # into the conv epilogue while an int32 reduce_window before it

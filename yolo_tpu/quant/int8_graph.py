@@ -26,7 +26,8 @@ from yolo_tpu.quant import qsim
 
 def int8_predict(m: fp.Int8Model, images, cfg: DetectorConfig,
                  rounding: str = "nearest", backend: str = "xla",
-                 s2d_layers: tuple = (), input_s2d: bool = False):
+                 s2d_layers: tuple = (), input_s2d: bool = False,
+                 pack_tail: bool = False):
     """images -> (boxes_norm [B, N, 4], class_probs [B, N, C]).
 
     ``images`` is either float32 (quantized in-graph) or already int8 at
@@ -47,7 +48,7 @@ def int8_predict(m: fp.Int8Model, images, cfg: DetectorConfig,
         head = fp.int8_forward_pallas(m, x_q, rounding)
     else:
         head = fp.int8_forward(m, x_q, rounding, s2d_layers=s2d_layers,
-                               input_s2d=input_s2d)
+                               input_s2d=input_s2d, pack_tail=pack_tail)
     flat = blocks.flatten_grid(head)
     conf, cls, txt = decode.split_predictions(
         flat, cfg.anchors_per_scale, cfg.num_classes)
@@ -61,7 +62,8 @@ def int8_predict(m: fp.Int8Model, images, cfg: DetectorConfig,
 def make_int8_detect_fn(m: fp.Int8Model, cfg: DetectorConfig,
                         rounding: str = "nearest", backend: str = "xla",
                         mesh=None, s2d_layers: tuple = (),
-                        input_s2d: bool = False, spatial: bool = False):
+                        input_s2d: bool = False, spatial: bool = False,
+                        pack_tail: bool = False):
     """Jitted end-to-end int8 detector:
     images [B, H, W, 3] float OR int8 -> (boxes, scores, classes, valid).
 
@@ -92,7 +94,7 @@ def make_int8_detect_fn(m: fp.Int8Model, cfg: DetectorConfig,
     def body(images):
         fp.check_serving_input(images, cfg, input_s2d)
         boxes, probs = int8_predict(m, images, cfg, rounding, backend,
-                                    s2d_layers, input_s2d)
+                                    s2d_layers, input_s2d, pack_tail)
         return nms.batched_postprocess(
             boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
             cfg.pre_nms_top_k, cfg.top_k)

@@ -159,19 +159,23 @@ def int8_tiny_forward(m: Int8Tiny, x_q: jnp.ndarray,
 
 def quantize_pipeline_tiny(params_fp32, cfg: DetectorConfig,
                            calib_batches, max_images: int = 1000,
-                           head_clip: float = None) -> Int8Tiny:
+                           head_clip: float = None, fold_bn: bool = True,
+                           states=None) -> Int8Tiny:
     """Full PTQ for tiny_yolo_v3: fold BN -> generic fake-quant +
-    calibration -> accumulator headroom -> integer model."""
+    calibration -> accumulator headroom -> integer model. ``states``
+    skips calibration (serve QAT's frozen scales)."""
     from yolo_tpu.models import tiny_yolo_v3
     from yolo_tpu.quant.bn_fold import fold_batch_norm
     from yolo_tpu.quant.generic import (
         calibrate_generic, fake_quantize_all_convs, quant_forward_generic)
 
     calib_batches = list(calib_batches)
-    fused = fold_batch_norm(params_fp32)
+    fused = fold_batch_norm(params_fp32) if fold_bn else params_fp32
     params_q = fake_quantize_all_convs(fused)
-    states = calibrate_generic(tiny_yolo_v3, params_q, cfg, calib_batches,
-                               max_images=max_images, head_clip=head_clip)
+    if states is None:
+        states = calibrate_generic(tiny_yolo_v3, params_q, cfg,
+                                   calib_batches, max_images=max_images,
+                                   head_clip=head_clip)
 
     @jax.jit
     def maxima_step(x):
@@ -366,19 +370,24 @@ def int8_yolo_v2_forward(m: Int8YoloV2, x_q: jnp.ndarray,
 
 def quantize_pipeline_yolo_v2(params_fp32, cfg: DetectorConfig,
                               calib_batches, max_images: int = 1000,
-                              head_clip: float = None) -> Int8YoloV2:
+                              head_clip: float = None,
+                              fold_bn: bool = True,
+                              states=None) -> Int8YoloV2:
     """Full PTQ for yolo_v2: fold BN -> generic fake-quant + calibration
-    -> accumulator headroom -> integer model."""
+    -> accumulator headroom -> integer model. ``states`` skips
+    calibration (serve QAT's frozen scales)."""
     from yolo_tpu.models import yolo_v2
     from yolo_tpu.quant.bn_fold import fold_batch_norm
     from yolo_tpu.quant.generic import (
         calibrate_generic, fake_quantize_all_convs, quant_forward_generic)
 
     calib_batches = list(calib_batches)
-    fused = fold_batch_norm(params_fp32)
+    fused = fold_batch_norm(params_fp32) if fold_bn else params_fp32
     params_q = fake_quantize_all_convs(fused)
-    states = calibrate_generic(yolo_v2, params_q, cfg, calib_batches,
-                               max_images=max_images, head_clip=head_clip)
+    if states is None:
+        states = calibrate_generic(yolo_v2, params_q, cfg, calib_batches,
+                                   max_images=max_images,
+                                   head_clip=head_clip)
 
     @jax.jit
     def maxima_step(x):

@@ -297,19 +297,28 @@ def int8_yolo_v3_forward(m: Int8YoloV3, x_q: jnp.ndarray,
 def quantize_pipeline_yolo_v3(params_fp32, cfg: DetectorConfig,
                               calib_batches, spp: bool = False,
                               max_images: int = 1000,
-                              head_clip: float = None) -> Int8YoloV3:
+                              head_clip: float = None,
+                              fold_bn: bool = True,
+                              states=None) -> Int8YoloV3:
     """Full PTQ for yolo_v3(-spp): fold BN -> generic calibration ->
-    headroom -> integer model."""
+    headroom -> integer model.
+
+    Pass ``states`` (call-ordered tracker list from calibrate_generic)
+    to SKIP calibration and build on those frozen activation scales —
+    e.g. the exact states a QAT fine-tune trained against. The headroom
+    aggregation still runs (it depends on the weights)."""
     from yolo_tpu.quant.bn_fold import fold_batch_norm
     from yolo_tpu.quant.generic import (
         calibrate_generic, fake_quantize_all_convs, quant_forward_generic)
 
     module = v3spp if spp else v3
     calib_batches = list(calib_batches)
-    fused = fold_batch_norm(params_fp32)
+    fused = fold_batch_norm(params_fp32) if fold_bn else params_fp32
     params_q = fake_quantize_all_convs(fused)
-    states = calibrate_generic(module, params_q, cfg, calib_batches,
-                               max_images=max_images, head_clip=head_clip)
+    if states is None:
+        states = calibrate_generic(module, params_q, cfg, calib_batches,
+                                   max_images=max_images,
+                                   head_clip=head_clip)
 
     @jax.jit
     def maxima_step(x):
