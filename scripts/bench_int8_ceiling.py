@@ -48,18 +48,21 @@ def timeit(f, *a, iters=30):
     return (time.perf_counter() - t0) / iters
 
 
-def xla_gemm(M, K, N, rng, label):
+def xla_gemm(M, K, N, rng, label, eff: float = 1.0):
     a = jax.device_put(rng.integers(-127, 128, (M, K)).astype(np.int8))
     b = jax.device_put(rng.integers(-127, 128, (K, N)).astype(np.int8))
     f = jax.jit(lambda x, y: jax.lax.dot_general(
         x, y, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32).sum())
     t = timeit(f, a, b)
+    extra = ("" if eff == 1.0 else
+             f"  eff {eff*2*M*K*N/t/1e12:6.1f} TOPS")
     print(f"XLA    {label:24s}: {t*1e3:7.3f} ms  "
-          f"{2*M*K*N/t/1e12:6.1f} TOPS", flush=True)
+          f"{2*M*K*N/t/1e12:6.1f} TOPS{extra}", flush=True)
 
 
-def pallas_gemm(M, K, N, rng, bm=512, bn=1024, bk=2048):
+def pallas_gemm(M, K, N, rng, bm=512, bn=1024, bk=2048,
+                eff: float = 1.0):
     k_steps = K // bk
 
     def kernel(a_ref, b_ref, o_ref, acc_ref):
@@ -94,12 +97,59 @@ def pallas_gemm(M, K, N, rng, bm=512, bn=1024, bk=2048):
     b = jax.device_put(rng.integers(-127, 128, (K, N)).astype(np.int8))
     f = jax.jit(lambda a, b: mm(a, b).sum())
     t = timeit(f, a, b, iters=20)
+    extra = ("" if eff == 1.0 else
+             f"  eff {eff*2*M*N*K/t/1e12:6.1f} TOPS")
     print(f"Pallas int8 bm={bm} bn={bn} bk={bk}: {t*1e3:7.3f} ms  "
-          f"{2*M*N*K/t/1e12:6.1f} TOPS", flush=True)
+          f"{2*M*N*K/t/1e12:6.1f} TOPS{extra}", flush=True)
+
+
+def smallc():
+    """GEMM upper bounds for the VERDICT r3 #3 question: can an
+    im2col-widened Mosaic kernel beat XLA's conv on the darknet53
+    small-C stages (208²C64 / 104²C128, ~85 TOPS whole-stage)?
+
+    Probes the PURE GEMM at the exact widened shapes — no im2col
+    assembly cost, so each row is a hard ceiling for any kernel built
+    on that decomposition:
+
+    - plain im2col (contraction 9·C_in): the untried kernel form.
+    - s2d-OUTPUT im2col (contraction 16·C_in, N = 4·C_out): widens the
+      collapsed N dim 4x at 16/9 extra FLOPs (each output phase uses 9
+      of the 16 patch taps; 'eff TOPS' scales measured TOPS by 9/16).
+
+    If eff TOPS < the stage's 85-TOPS XLA conv, the kernel cannot win
+    and the study closes by measurement.
+    """
+    rng = np.random.default_rng(0)
+    # (label, M, K, N, useful_frac, bm)
+    probes = [
+        ("stage1 3x3 im2col9 (208², 32->64, b64)",
+         2768896, 288, 64, 1.0),
+        ("stage2 3x3 im2col9 (104², 64->128, b64)",
+         692224, 576, 128, 1.0),
+        ("stage1 3x3 s2d-out im2col16 (->104²x256, b64)",
+         692224, 512, 256, 9 / 16),
+        ("stage2 3x3 s2d-out im2col16 (->52²x512, b64)",
+         173056, 1024, 512, 9 / 16),
+    ]
+    for label, M, K, N, frac in probes:
+        print(f"-- {label}: useful MACs x{frac:.3f}")
+        xla_gemm(M, K, N, rng, f"  XLA dot {M}x{K}x{N}", eff=frac)
+        for bm in (512, 1024):
+            try:
+                pallas_gemm(M, K, N, rng, bm=bm, bn=N, bk=K, eff=frac)
+            except Exception as e:
+                print(f"  Pallas bm={bm}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:140]}", flush=True)
 
 
 def main():
+    import sys
+
     rng = np.random.default_rng(0)
+    if "--smallc" in sys.argv:
+        smallc()
+        return
     M = K = N = 8192
     xla_gemm(M, K, N, rng, "8192^3 int8")
     for bm, bn, bk in ((512, 1024, 2048), (1024, 1024, 512)):
