@@ -47,6 +47,7 @@ from yolo_tpu.train.trainer import TrainConfig, lr_at, make_train_step
 
 def main(epochs: int = 150, size: int = 64, batch: int = 16,
          val_images: int = 512, qat_steps: int = 300,
+         qat_lr: float = 1e-5,
          ckpt: str = "/tmp/quant_parity_params.msgpack",
          skip_train: bool = False, n_boot: int = 300):
     from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
@@ -185,7 +186,7 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
                             params_q, cfg, calib, head_clip=auto_cap))]:
             t0 = time.time()
             tuned, _ = qat_finetune(det_f, fused, states_from_qsim(st),
-                                    qat_batches(), base_lr=1e-5,
+                                    qat_batches(), base_lr=qat_lr,
                                     steps=qat_steps)
             print(f"  qat[{tag}]: {qat_steps} steps in "
                   f"{time.time() - t0:.0f}s", flush=True)
@@ -231,8 +232,10 @@ if __name__ == "__main__":
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--val", type=int, default=512)
     p.add_argument("--qat_steps", type=int, default=300)
+    p.add_argument("--qat_lr", type=float, default=1e-5)
     p.add_argument("--n_boot", type=int, default=300)
     p.add_argument("--skip_train", action="store_true", default=False)
     a = p.parse_args()
     main(epochs=a.epochs, size=a.size, val_images=a.val,
-         qat_steps=a.qat_steps, n_boot=a.n_boot, skip_train=a.skip_train)
+         qat_steps=a.qat_steps, qat_lr=a.qat_lr, n_boot=a.n_boot,
+         skip_train=a.skip_train)
