@@ -105,13 +105,13 @@ def prefix_fn(m, upto: int, input_s2d: bool, barrier: bool):
     return f
 
 
-def full_fn(m, input_s2d: bool, barrier: bool):
+def full_fn(m, input_s2d: bool, barrier: bool, conv2_s2d: bool = False):
     @jax.jit
     def f(x):
-        if barrier:
-            # same graph as int8_yolo_v2_forward but with the entry
-            # output pinned
-            head = _forward_barrier(m, x)
+        if barrier or conv2_s2d:
+            # same graph as int8_yolo_v2_forward with the variant tweak
+            head = _forward_barrier(m, x, barrier=barrier,
+                                    conv2_s2d=conv2_s2d)
         else:
             head = int8_yolo_v2_forward(m, x, input_s2d=input_s2d)
         return jnp.sum(head[0])
@@ -119,12 +119,14 @@ def full_fn(m, input_s2d: bool, barrier: bool):
     return f
 
 
-def _forward_barrier(m, x_q):
+def _forward_barrier(m, x_q, barrier: bool = True,
+                     conv2_s2d: bool = False):
     out = fp.int8_conv_pool_s2d_core(
         x_q, m.w_q["conv_1.0"], m.b_q["conv_1.0"], c_in=3,
         sw=m.sw["conv_1.0"], sb=m.sb["conv_1.0"], sa_in=m.sa["in"],
         sa_out=m.sa["conv_1.0"], retune=m.retune["conv_1.0"])
-    out = jax.lax.optimization_barrier(out)
+    if barrier:
+        out = jax.lax.optimization_barrier(out)
     # continue with the stock graph from conv_2 on: rebuild by calling
     # the library forward on a wrapper is not possible mid-graph, so
     # inline the remainder (same ops as int8_yolo_v2_forward).
@@ -144,8 +146,18 @@ def _forward_barrier(m, x_q):
         return x, prev
 
     prev = "conv_1.0"
-    out, prev = run("conv_2", 1, out, prev)
-    out = fp.int_maxpool(out)
+    if conv2_s2d:
+        # conv_2 + its pool in the fused s2d form: the block relayout of
+        # the consumer sidesteps whatever layout chain XLA picked for
+        # the entry output
+        out = fp.int8_conv_pool_s2d(
+            out, m.w_q["conv_2.0"], m.b_q["conv_2.0"],
+            sw=m.sw["conv_2.0"], sb=m.sb["conv_2.0"], sa_in=m.sa[prev],
+            sa_out=m.sa["conv_2.0"], retune=m.retune["conv_2.0"])
+        prev = "conv_2.0"
+    else:
+        out, prev = run("conv_2", 1, out, prev)
+        out = fp.int_maxpool(out)
     out, prev = run("conv_3", 3, out, prev)
     out = fp.int_maxpool(out)
     c4, prev4 = run("conv_4", 3, out, prev)
@@ -174,7 +186,9 @@ def main():
 
     variants = [("plain-i8", full_fn(m, False, False), x_q),
                 ("s2d", full_fn(m, True, False), x_s2d),
-                ("s2d+barrier", full_fn(m, True, True), x_s2d)]
+                ("s2d+barrier", full_fn(m, True, True), x_s2d),
+                ("s2d+conv2s2d", full_fn(m, True, False, True), x_s2d),
+                ("s2d+bar+c2s2d", full_fn(m, True, True, True), x_s2d)]
     print(f"== full backbone graphs, b{b} @416² ==")
     for name, f, x in variants:
         t = timeit(f, x)
