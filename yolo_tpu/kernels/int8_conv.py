@@ -52,6 +52,15 @@ throughput collapses with output width N on this chip (52 TOPS at
 N=256 vs 217 at N=1024, Pallas and XLA dot alike) while XLA's
 implicit-GEMM conv does not — so ALL serving engines stay XLA convs,
 and these kernels are reference/verification implementations.
+
+Round-4 closure (the last untried form, VERDICT r3 #3): pure-GEMM
+ceilings at the small-C stages' exact im2col shapes — plain 9·C and the
+N-widening s2d-output 16·C decomposition — all measure BELOW the
+~85 TOPS XLA's implicit-GEMM conv achieves there (best: 68 effective
+TOPS, XLA dot on the widened form; Pallas 9-42), before any assembly
+cost. `bench_int8_ceiling.py --smallc` table in docs/PERFORMANCE.md.
+No im2col-decomposed kernel can win on this toolchain; the study is
+closed with data rather than another losing kernel.
 """
 
 from __future__ import annotations
