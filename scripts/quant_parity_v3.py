@@ -60,7 +60,8 @@ def build_integer(version, params, cfg, calib, head_clip=None,
 
 def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
          batch: int = 16, val_images: int = 512, qat_steps: int = 300,
-         skip_train: bool = False, n_boot: int = 300):
+         qat_lr: float = 1e-6, skip_train: bool = False,
+         n_boot: int = 300):
     ckpt = f"/tmp/quant_parity_{version}.msgpack"
     cfg = get_config(version, "mask", input_size=(size, size),
                      conf_thresh=0.01)
@@ -158,7 +159,7 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
 
         t0 = time.time()
         tuned, _ = qat_finetune(det_f, fused, states, qat_batches(),
-                                base_lr=1e-5, steps=qat_steps)
+                                base_lr=qat_lr, steps=qat_steps)
         print(f"  qat: {qat_steps} steps in {time.time() - t0:.0f}s",
               flush=True)
         _, detect_qat = build_integer(version, tuned, cfg, calib,
@@ -204,9 +205,13 @@ if __name__ == "__main__":
                         "so the grid isn't 2x2)")
     p.add_argument("--val", type=int, default=512)
     p.add_argument("--qat_steps", type=int, default=300)
+    p.add_argument("--qat_lr", type=float, default=1e-6,
+                   help="QAT LR (1e-6 measured best on slim; 1e-5 "
+                        "degrades, docs/PARITY.md)")
     p.add_argument("--n_boot", type=int, default=300)
     p.add_argument("--skip_train", action="store_true")
     args = p.parse_args()
     main(args.version, epochs=args.epochs, size=args.size,
          val_images=args.val, qat_steps=args.qat_steps,
-         n_boot=args.n_boot, skip_train=args.skip_train)
+         qat_lr=args.qat_lr, n_boot=args.n_boot,
+         skip_train=args.skip_train)
