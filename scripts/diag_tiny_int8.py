@@ -133,7 +133,17 @@ def main():
 
     from yolo_tpu.quant.autoclip import select_head_clip
 
-    auto_cap, _ = select_head_clip("tiny_yolo_v3", params, cfg, calib)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--head_clip", type=float, default=None,
+                    help="None = autoclip; 0 = no cap")
+    aa = ap.parse_args()
+    if aa.head_clip is None:
+        auto_cap, _ = select_head_clip("tiny_yolo_v3", params, cfg,
+                                       calib)
+    else:
+        auto_cap = aa.head_clip if aa.head_clip > 0 else None
+    print(f"head_clip = {auto_cap}")
     m = quantize_pipeline_tiny(params, cfg, calib, head_clip=auto_cap)
 
     results, raw = {}, {}
@@ -167,12 +177,145 @@ def main():
     run("integer_exact_up",
         lambda im: exact_detect(jnp.asarray(im, jnp.float32)))
 
-    # paired CI between the two engines
-    d, lo, hi = bootstrap_delta_ci(raw["integer_exact_up"][0],
-                                   raw["integer_stock"][0],
-                                   raw["integer_stock"][1], n_boot=300)
-    print(f"\nexact-up minus stock: {d * 100:+.2f} pts "
-          f"[{lo * 100:+.2f}, {hi * 100:+.2f}]")
+    # ---- variant (b): int8 convs + FLOAT epilogue (single rounding per
+    # tap, like the sim) — isolates the int16 two-shift requant chain.
+    def conv_f(name, x, sa_in, leaky=True):
+        parts = x if isinstance(x, (list, tuple)) else [(x, sa_in)]
+        acc, c_ofs = None, 0
+        for xq, sa in parts:
+            c = xq.shape[-1]
+            w_part = jax.lax.slice_in_dim(m.w_q[name], c_ofs,
+                                          c_ofs + c, axis=2)
+            c_ofs += c
+            p = jax.lax.conv_general_dilated(
+                xq.astype(jnp.int8), w_part, window_strides=(1, 1),
+                padding=((_TINY_SPATIAL[name],) * 2,) * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = p.astype(jnp.float32) * 2.0 ** -(m.sw[name] + sa)
+            acc = y if acc is None else acc + y
+        acc = acc + m.b_q[name].astype(jnp.float32) * 2.0 ** -m.sb[name]
+        if leaky:
+            acc = jnp.where(acc > 0, acc, acc * 0.125)
+        q = jnp.round(acc * 2.0 ** m.sa[name])
+        return jnp.clip(q, fp.INT8_MIN, fp.INT8_MAX).astype(jnp.int8)
+
+    def forward_float_epi(x_q):
+        out = fp.int_maxpool(conv_f("conv_1", x_q, m.sa["in"]))
+        out = fp.int_maxpool(conv_f("conv_2", out, m.sa["conv_1"]))
+        out = fp.int_maxpool(conv_f("conv_3", out, m.sa["conv_2"]))
+        out = fp.int_maxpool(conv_f("conv_4", out, m.sa["conv_3"]))
+        c4 = conv_f("conv_5", out, m.sa["conv_4"])
+        out = fp.int_maxpool(c4)
+        out = conv_f("conv_6", out, m.sa["conv_5"])
+        out = fp.int_zero_pad_maxpool_s1(out)
+        c5 = conv_f("conv_7", out, m.sa["conv_6"])
+        c5h = conv_f("conv_set_2", c5, m.sa["conv_7"])
+        up = conv_f("conv_1x1_2", c5h, m.sa["conv_set_2"])
+        up = fp.int_upsample2x_ac(up)
+        c4h = conv_f("conv_set_1",
+                     [(c4, m.sa["conv_5"]), (up, m.sa["conv_1x1_2"])],
+                     None)
+        e2 = conv_f("extra_conv_2", c5h, m.sa["conv_set_2"])
+        pred_2 = conv_f("pred_2", e2, m.sa["extra_conv_2"],
+                        leaky=False)
+        pred_1 = conv_f("pred_1", c4h, m.sa["conv_set_1"], leaky=False)
+        return [
+            pred_1.astype(jnp.float32) * 2.0 ** -m.sa["pred_1"],
+            pred_2.astype(jnp.float32) * 2.0 ** -m.sa["pred_2"],
+        ]
+
+    class _ModF:
+        STRIDES = (16, 32)
+
+        @staticmethod
+        def forward(p, x, cfg_, train=False):
+            return forward_float_epi(fp.quantize_input(x, m.sa["in"]))
+
+    @jax.jit
+    def float_epi_detect(images):
+        boxes, probs = D.predict(_ModF, None, images, cfg)
+        return nms.batched_postprocess(
+            boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
+            cfg.pre_nms_top_k, cfg.top_k)
+
+    run("integer_float_epilogue",
+        lambda im: float_epi_detect(jnp.asarray(im, jnp.float32)))
+
+    # ---- combo: float epilogue AND off-grid upsample (the up branch
+    # feeds conv_set_1 as float, like the sim). Up to f32 associativity
+    # this SHOULD equal the fake-quant sim — if it does, the sim-engine
+    # gap is fully accounted as (upsample round) + (int requant chain),
+    # superadditive.
+    def forward_combo(x_q):
+        out = fp.int_maxpool(conv_f("conv_1", x_q, m.sa["in"]))
+        out = fp.int_maxpool(conv_f("conv_2", out, m.sa["conv_1"]))
+        out = fp.int_maxpool(conv_f("conv_3", out, m.sa["conv_2"]))
+        out = fp.int_maxpool(conv_f("conv_4", out, m.sa["conv_3"]))
+        c4 = conv_f("conv_5", out, m.sa["conv_4"])
+        out = fp.int_maxpool(c4)
+        out = conv_f("conv_6", out, m.sa["conv_5"])
+        out = fp.int_zero_pad_maxpool_s1(out)
+        c5 = conv_f("conv_7", out, m.sa["conv_6"])
+        c5h = conv_f("conv_set_2", c5, m.sa["conv_7"])
+        up8 = conv_f("conv_1x1_2", c5h, m.sa["conv_set_2"])
+        up = blocks.upsample2x_align_corners(
+            up8.astype(jnp.float32) * 2.0 ** -m.sa["conv_1x1_2"])
+        # conv_set_1 in float for the off-grid up branch (diagnostic)
+        name = "conv_set_1"
+        cin_c4 = c4.shape[-1]
+        wf = m.w_q[name].astype(jnp.float32) * 2.0 ** -m.sw[name]
+        xf = jnp.concatenate(
+            [c4.astype(jnp.float32) * 2.0 ** -m.sa["conv_5"], up], -1)
+        acc = jax.lax.conv_general_dilated(
+            xf, wf, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        acc = acc + m.b_q[name].astype(jnp.float32) * 2.0 ** -m.sb[name]
+        acc = jnp.where(acc > 0, acc, acc * 0.125)
+        c4h = jnp.clip(jnp.round(acc * 2.0 ** m.sa[name]),
+                       fp.INT8_MIN, fp.INT8_MAX).astype(jnp.int8)
+        e2 = conv_f("extra_conv_2", c5h, m.sa["conv_set_2"])
+        pred_2 = conv_f("pred_2", e2, m.sa["extra_conv_2"],
+                        leaky=False)
+        pred_1 = conv_f("pred_1", c4h, m.sa["conv_set_1"], leaky=False)
+        return [
+            pred_1.astype(jnp.float32) * 2.0 ** -m.sa["pred_1"],
+            pred_2.astype(jnp.float32) * 2.0 ** -m.sa["pred_2"],
+        ]
+
+    class _ModCombo:
+        STRIDES = (16, 32)
+
+        @staticmethod
+        def forward(p, x, cfg_, train=False):
+            return forward_combo(fp.quantize_input(x, m.sa["in"]))
+
+    @jax.jit
+    def combo_detect(images):
+        boxes, probs = D.predict(_ModCombo, None, images, cfg)
+        return nms.batched_postprocess(
+            boxes, probs, cfg.conf_thresh, cfg.nms_thresh,
+            cfg.pre_nms_top_k, cfg.top_k)
+
+    run("float_epi_plus_offgrid_up",
+        lambda im: combo_detect(jnp.asarray(im, jnp.float32)))
+
+    # and the sim itself on the same cap, for the direct target
+    from yolo_tpu.quant.generic import quantize_detector
+
+    _, _, sim_detect = quantize_detector(det, params, calib,
+                                         head_clip=auto_cap)
+    run("fakequant_sim",
+        lambda im: sim_detect(np.asarray(im, np.float32)))
+
+    gts = raw["integer_stock"][1]
+    for k in ("integer_exact_up", "integer_float_epilogue",
+              "float_epi_plus_offgrid_up", "fakequant_sim"):
+        d, lo, hi = bootstrap_delta_ci(raw[k][0],
+                                       raw["integer_stock"][0],
+                                       gts, n_boot=300)
+        print(f"\n{k} minus stock: {d * 100:+.2f} pts "
+              f"[{lo * 100:+.2f}, {hi * 100:+.2f}]")
 
 
 if __name__ == "__main__":

@@ -107,6 +107,25 @@ def _leaky_int(v, rounding: str, xp):
     return xp.where(v >= 0, v, _shift(v, 3, rounding, xp))
 
 
+def _leaky_int_slope(v, slope: float, rounding: str, xp):
+    """Integer LeakyReLU at an arbitrary slope.
+
+    0.125 keeps the reference's pure arithmetic shift. Other slopes
+    (the darknet BACKBONES use 0.1 — blocks.BACKBONE_LEAKY_SLOPE, which
+    the r3 engines approximated with the 0.125 shift at a measured
+    ~2-mAP cost on tiny_yolo_v3) use the Q16 rational
+    round(slope*65536)/65536 — error 0.006% for 0.1, exact integer
+    arithmetic, int32-safe for the int16-clipped accumulator. The same
+    one-multiplier concession int_upsample2x_ac already makes for the
+    FPN models; slim stays all-0.125 (bit-frozen vs the C engine)."""
+    if slope == 0.125:
+        return _leaky_int(v, rounding, xp)
+    num = int(round(slope * 65536))
+    p = v.astype(xp.int32) * num if xp is jnp else v.astype(np.int64) * num
+    neg = _shift(p, 16, rounding, xp)
+    return xp.where(v >= 0, v, neg.astype(v.dtype))
+
+
 def _maxpool_int_np(x):
     b, h, w, c = x.shape
     return x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
@@ -471,12 +490,14 @@ def int8_forward_pallas(m: Int8Model, x_q: jnp.ndarray,
 
 def _requant(acc, b_q, *, sw, sb, sa_in, sa_out, retune, leaky, rounding):
     """The standard fixed-point requant chain on a raw int32 conv
-    accumulator."""
+    accumulator. ``leaky``: False | True (slope 0.125) | a float slope
+    (integer Q16 rational, _leaky_int_slope)."""
     acc = _shift(acc, sw + sa_in - retune, rounding, jnp)
     acc = acc + _shift(b_q.astype(jnp.int32), sb - retune, rounding, jnp)
     acc = jnp.clip(acc, INT16_MIN, INT16_MAX)
     if leaky:
-        acc = _leaky_int(acc, rounding, jnp)
+        slope = 0.125 if leaky is True else float(leaky)
+        acc = _leaky_int_slope(acc, slope, rounding, jnp)
     out = _shift(acc, retune - sa_out, rounding, jnp)
     return jnp.clip(out, INT8_MIN, INT8_MAX).astype(jnp.int8)
 
@@ -578,7 +599,8 @@ def s2d_entry_from_input(x2: jnp.ndarray) -> jnp.ndarray:
 
 def int8_entry_pair_s2d(x_q, w1, b1, p1: dict, w2, b2, p2: dict,
                         rounding: str = "nearest",
-                        pre_s2d: bool = False) -> jnp.ndarray:
+                        pre_s2d: bool = False,
+                        leaky=(True, True)) -> jnp.ndarray:
     """Fused darknet entry: conv1 (3x3 s1 p1 leaky) + conv2 (3x3 s2 p1
     leaky), both as MXU block convs, the intermediate staying in
     phase-packed s2d layout (never depth-to-space'd).
@@ -605,11 +627,11 @@ def int8_entry_pair_s2d(x_q, w1, b1, p1: dict, w2, b2, p2: dict,
         h2, w2_ = h // 2, w // 2
     acc1 = _block_conv(x2, _s2_block_weights(np.asarray(w1), True))
     y2 = _requant(acc1, jnp.tile(b1.astype(jnp.int32), 4),
-                  leaky=True, rounding=rounding, **p1)  # [B,h/2,w/2,4*c1]
+                  leaky=leaky[0], rounding=rounding, **p1)
     y2p = jnp.pad(y2, ((0, 0), (1, 1), (1, 1), (0, 0)))
     acc2 = _block_conv(y2p, _even_block_weights(np.asarray(w2)))
     acc2 = acc2[:, :h2, :w2_]
-    return _requant(acc2, b2, leaky=True, rounding=rounding, **p2)
+    return _requant(acc2, b2, leaky=leaky[1], rounding=rounding, **p2)
 
 
 # ---------------------------------------------------------------------------
@@ -624,6 +646,10 @@ def int_conv_requant(x, w_q, b_q, *, sw: int, sb: int, sa_in, sa_out: int,
                      leaky: bool = True, rounding: str = "nearest",
                      residual=None, sa_res: int = None):
     """Integer conv + fixed-point requant, generalized.
+
+    ``leaky``: False | True (slope 0.125, the reference shift) | a float
+    slope (e.g. 0.1 for the darknet backbones — integer Q16 rational,
+    see _leaky_int_slope).
 
     ``x`` is an int8 array with scale exponent ``sa_in`` — or, for convs
     that consume a channel concat of differently-scaled tensors, a list
@@ -665,7 +691,8 @@ def int_conv_requant(x, w_q, b_q, *, sw: int, sb: int, sa_in, sa_out: int,
     acc = acc + _shift(b_q.astype(jnp.int32), sb - retune, rounding, jnp)
     acc = jnp.clip(acc, INT16_MIN, INT16_MAX)
     if leaky:
-        acc = _leaky_int(acc, rounding, jnp)
+        slope = 0.125 if leaky is True else float(leaky)
+        acc = _leaky_int_slope(acc, slope, rounding, jnp)
     out = _shift(acc, retune - sa_out, rounding, jnp)
     out = jnp.clip(out, INT8_MIN, INT8_MAX).astype(jnp.int8)
     if residual is not None:

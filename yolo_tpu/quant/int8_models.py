@@ -122,22 +122,27 @@ def int8_tiny_forward(m: Int8Tiny, x_q: jnp.ndarray,
             sa_in=sa_in, sa_out=m.sa[name], retune=m.retune[name],
             padding=_TINY_SPATIAL[name], leaky=leaky, rounding=rounding)
 
+    # darknet_light backbone runs LeakyReLU(0.1) (models/darknet.SLOPE);
+    # the head blocks run 0.125. The integer engine honors both slopes
+    # (fp._leaky_int_slope) — running the whole net at the 0.125 shift
+    # measured a ~2-mAP integer-vs-sim gap on the 512-image val split.
+    BB = 0.1
     if input_s2d:
         out = fp.int8_conv_pool_s2d_core(
             x_q, m.w_q["conv_1"], m.b_q["conv_1"], c_in=3,
             sw=m.sw["conv_1"], sb=m.sb["conv_1"], sa_in=m.sa["in"],
             sa_out=m.sa["conv_1"], retune=m.retune["conv_1"],
-            rounding=rounding)
+            leaky=BB, rounding=rounding)
     else:
-        out = fp.int_maxpool(conv("conv_1", x_q, sa_in=m.sa["in"]))
-    out = fp.int_maxpool(conv("conv_2", out, sa_in=m.sa["conv_1"]))
-    out = fp.int_maxpool(conv("conv_3", out, sa_in=m.sa["conv_2"]))
-    out = fp.int_maxpool(conv("conv_4", out, sa_in=m.sa["conv_3"]))
-    c4 = conv("conv_5", out, sa_in=m.sa["conv_4"])          # stride 16
+        out = fp.int_maxpool(conv("conv_1", x_q, BB, sa_in=m.sa["in"]))
+    out = fp.int_maxpool(conv("conv_2", out, BB, sa_in=m.sa["conv_1"]))
+    out = fp.int_maxpool(conv("conv_3", out, BB, sa_in=m.sa["conv_2"]))
+    out = fp.int_maxpool(conv("conv_4", out, BB, sa_in=m.sa["conv_3"]))
+    c4 = conv("conv_5", out, BB, sa_in=m.sa["conv_4"])      # stride 16
     out = fp.int_maxpool(c4)
-    out = conv("conv_6", out, sa_in=m.sa["conv_5"])
+    out = conv("conv_6", out, BB, sa_in=m.sa["conv_5"])
     out = fp.int_zero_pad_maxpool_s1(out)
-    c5 = conv("conv_7", out, sa_in=m.sa["conv_6"])          # stride 32
+    c5 = conv("conv_7", out, BB, sa_in=m.sa["conv_6"])      # stride 32
 
     c5h = conv("conv_set_2", c5, sa_in=m.sa["conv_7"])
     up = conv("conv_1x1_2", c5h, sa_in=m.sa["conv_set_2"])
@@ -330,10 +335,12 @@ def int8_yolo_v2_forward(m: Int8YoloV2, x_q: jnp.ndarray,
             sa_in=sa_in, sa_out=m.sa[name], retune=m.retune[name],
             padding=_V2_PAD[name], leaky=leaky, rounding=rounding)
 
+    # darknet19 backbone slope 0.1, head convs 0.125 (see
+    # int8_tiny_forward's note; fp._leaky_int_slope)
     def run_seq_int(seq, n, x, prev):
         for j in range(n):
             name = f"{seq}.{j}"
-            x = conv(name, x, sa_in=m.sa[prev])
+            x = conv(name, x, sa_in=m.sa[prev], leaky=0.1)
             prev = name
         return x, prev
 
@@ -342,7 +349,7 @@ def int8_yolo_v2_forward(m: Int8YoloV2, x_q: jnp.ndarray,
             x_q, m.w_q["conv_1.0"], m.b_q["conv_1.0"], c_in=3,
             sw=m.sw["conv_1.0"], sb=m.sb["conv_1.0"], sa_in=m.sa["in"],
             sa_out=m.sa["conv_1.0"], retune=m.retune["conv_1.0"],
-            rounding=rounding)
+            leaky=0.1, rounding=rounding)
         prev = "conv_1.0"
     else:
         out, prev = run_seq_int("conv_1", 1, x_q, "in")

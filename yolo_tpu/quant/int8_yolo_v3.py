@@ -39,16 +39,19 @@ def _program(spp: bool) -> List[Tuple]:
     ('concat', left_name)."""
     ops: List[Tuple] = []
     feat_names = {"layer_3": "c3", "layer_4": "c4", "layer_5": "c5"}
+    # backbone convs use the darknet slope 0.1 (models/darknet.py SLOPE);
+    # head convs use 0.125 (leaky=True). The integer engine honors both
+    # (fp._leaky_int_slope) — r3 ran the whole net at 0.125.
     for name, entry, ch, nblocks in _D53_LAYERS:
         for j, (ks, ci, co, st, pad) in enumerate(entry):
             ops.append(("conv", ("backbone", name, "entry", j), st, pad,
-                        True))
+                        0.1))
         for k in range(nblocks):
             specs = _res_specs(ch)
             ops.append(("push",))
             for j, (ks, ci, co, st, pad) in enumerate(specs):
                 ops.append(("conv", ("backbone", name, "blocks", k, j),
-                            st, pad, True))
+                            st, pad, 0.1))
             ops.append(("res",))
         if name in feat_names:
             ops.append(("save", feat_names[name]))
@@ -207,7 +210,8 @@ def int8_yolo_v3_forward(m: Int8YoloV3, x_q: jnp.ndarray,
                 out = fp.int8_entry_pair_s2d(
                     x, m.w_q[conv_i], m.b_q[conv_i], p1,
                     m.w_q[conv_i + 1], m.b_q[conv_i + 1], p2,
-                    rounding=rounding, pre_s2d=input_s2d)
+                    rounding=rounding, pre_s2d=input_s2d,
+                    leaky=(leaky, nxt[4]))
                 stream = (out, sa_out2)
                 tap_i += 2
                 conv_i += 2
