@@ -20,7 +20,8 @@ def _oracle(x, w, bq, sw, sb, sa_in, sa_out, retune, leaky, rounding,
                           np)
     acc = np.clip(acc, fp.INT16_MIN, fp.INT16_MAX)
     if leaky:
-        acc = np.where(acc >= 0, acc, fp._shift(acc, 3, rounding, np))
+        slope = 0.125 if leaky is True else float(leaky)
+        acc = fp._leaky_int_slope(acc, slope, rounding, np)
     out = np.clip(fp._shift(acc, retune - sa_out, rounding, np),
                   fp.INT8_MIN, fp.INT8_MAX)
     return fp._maxpool_int_np(out) if pool else out
@@ -117,17 +118,20 @@ def test_pooled_window_kernel_s2d_assembly(rng, rounding):
 
 @pytest.mark.parametrize("rounding", ["nearest", "floor"])
 @pytest.mark.parametrize("cin,cout", [(3, 16), (16, 32)])
-def test_s2d_conv_pool_xla_bit_exact(rng, rounding, cin, cout):
+@pytest.mark.parametrize("leaky", [True, 0.1])
+def test_s2d_conv_pool_xla_bit_exact(rng, rounding, cin, cout, leaky):
     """The pure-XLA space-to-depth conv+pool (MXU path for small C_in)
-    == conv+requant+pool oracle, bit-exact."""
+    == conv+requant+pool oracle, bit-exact — at the 0.125 shift AND a
+    float backbone slope (tiny/v2 pass leaky=0.1 through this entry:
+    regression guard for the pooled core ignoring float slopes)."""
     B, H, W = 2, 12, 8
     x = jnp.asarray(rng.integers(-128, 128, (B, H, W, cin)), jnp.int8)
     w = jnp.asarray(rng.integers(-30, 30, (3, 3, cin, cout)), jnp.int8)
     bq = jnp.asarray(rng.integers(-100, 100, (cout,)), jnp.int32)
     kw = dict(sw=8, sb=7, sa_in=4, sa_out=4, retune=11)
     got = np.asarray(fp.int8_conv_pool_s2d(
-        x, w, bq, leaky=True, rounding=rounding, **kw))
-    want = _oracle(x, w, bq, leaky=True, rounding=rounding, pool=True,
+        x, w, bq, leaky=leaky, rounding=rounding, **kw))
+    want = _oracle(x, w, bq, leaky=leaky, rounding=rounding, pool=True,
                    **kw)
     np.testing.assert_array_equal(got, want)
 

@@ -265,7 +265,8 @@ def int8_conv_pool_s2d_core(x2: jnp.ndarray, w_q, b_q, *, c_in: int,
     acc = acc + _shift(b4, sb - retune, rounding, jnp)
     acc = jnp.clip(acc, INT16_MIN, INT16_MAX)
     if leaky:
-        acc = _leaky_int(acc, rounding, jnp)
+        slope = 0.125 if leaky is True else float(leaky)
+        acc = _leaky_int_slope(acc, slope, rounding, jnp)
     o8 = jnp.clip(_shift(acc, retune - sa_out, rounding, jnp),
                   INT8_MIN, INT8_MAX).astype(jnp.int8)
     # pooled (u,v) lives at conv output (u+1, v+1); max the 4 phase groups
