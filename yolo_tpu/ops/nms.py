@@ -100,12 +100,17 @@ def _pairwise_iou(boxes: jnp.ndarray) -> jnp.ndarray:
 def postprocess_jax(boxes: jnp.ndarray, class_probs: jnp.ndarray,
                     conf_thresh: float, nms_thresh: float,
                     pre_nms_top_k: int = 512, top_k: int = 100,
-                    mode: str = "greedy"):
+                    mode: str = "greedy", topk_method: str = "exact"):
     """Single-image in-graph postprocess.
 
     Args:
       boxes: [N, 4] corner boxes.
       class_probs: [N, C] per-class confidences (softmax(cls) * sigmoid(obj)).
+      topk_method: "exact" (lax.top_k full sort) or "approx"
+        (lax.approx_max_k — the TPU-native partial-reduction primitive;
+        with aggregate_to_topk the returned k are sorted, so the greedy
+        loop's score order is preserved; only which candidates make the
+        pre-NMS cut can differ, and only among near-threshold scores).
     Returns:
       (boxes [top_k, 4], scores [top_k], classes [top_k] int32,
        valid [top_k] bool) — fixed shapes, invalid slots zeroed.
@@ -118,7 +123,11 @@ def postprocess_jax(boxes: jnp.ndarray, class_probs: jnp.ndarray,
 
     # Pre-NMS top-k candidates by best-class score, then score-descending —
     # exactly the order the greedy loop needs.
-    scores, idx = jax.lax.top_k(scores_all, k)
+    if topk_method == "approx":
+        scores, idx = jax.lax.approx_max_k(scores_all, k,
+                                           recall_target=0.99)
+    else:
+        scores, idx = jax.lax.top_k(scores_all, k)
     cand_boxes = boxes[idx]
     cand_cls = cls_all[idx]
     valid = scores >= conf_thresh
@@ -179,13 +188,14 @@ def postprocess_jax(boxes: jnp.ndarray, class_probs: jnp.ndarray,
     return out_boxes, out_scores, out_cls, out_valid
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def batched_postprocess(boxes, class_probs, conf_thresh, nms_thresh,
-                        pre_nms_top_k=512, top_k=100, mode="greedy"):
+                        pre_nms_top_k=512, top_k=100, mode="greedy",
+                        topk_method="exact"):
     """vmapped postprocess over the batch: [B, N, 4] x [B, N, C] ->
     fixed-shape (boxes [B, K, 4], scores [B, K], classes [B, K],
     valid [B, K])."""
     fn = partial(postprocess_jax, conf_thresh=conf_thresh,
                  nms_thresh=nms_thresh, pre_nms_top_k=pre_nms_top_k,
-                 top_k=top_k, mode=mode)
+                 top_k=top_k, mode=mode, topk_method=topk_method)
     return jax.vmap(fn)(boxes, class_probs)
