@@ -1,0 +1,82 @@
+"""Serialized serving artifacts (yolo_tpu.serving.export): the compiled
+detector — weights, shift tables, decode, NMS — round-trips through
+jax.export serialization bit-exactly and reloads without model code.
+
+TPU deployment analogue of the reference's frozen weight.h + compiled
+engine artifact (c_embedding/yolo_forward.c)."""
+
+import jax
+import numpy as np
+import pytest
+
+from yolo_tpu.config import get_config
+from yolo_tpu.detector import Detector, build_detector
+from yolo_tpu.serving.export import (export_detect, load_artifact,
+                                     save_artifact)
+
+
+@pytest.fixture(scope="module")
+def int8_setup():
+    from yolo_tpu.quant.dispatch import build_int8_detector
+
+    rng = np.random.default_rng(0)
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(64, 64))
+    params = Detector(cfg).init_params(jax.random.PRNGKey(0))
+    batches = [rng.random((2, 64, 64, 3), dtype=np.float32)]
+    m, det = build_int8_detector("slim_yolo_v2", params, cfg, batches)
+    return det, rng.random((2, 64, 64, 3), dtype=np.float32)
+
+
+def test_int8_artifact_round_trip_bit_exact(int8_setup):
+    det, x = int8_setup
+    want = [np.asarray(a) for a in det(x)]
+    blob = export_detect(lambda im: det(im), x)
+    assert isinstance(blob, bytes) and len(blob) > 1000
+    serve = load_artifact(blob)
+    got = [np.asarray(a) for a in serve(x)]
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+
+
+def test_artifact_file_save_load(int8_setup, tmp_path):
+    det, x = int8_setup
+    path = str(tmp_path / "slim_int8.stablehlo")
+    assert save_artifact(lambda im: det(im), x, path) == path
+    serve = load_artifact(path)
+    want = [np.asarray(a) for a in det(x)]
+    got = [np.asarray(a) for a in serve(x)]
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+
+
+def test_artifact_accepts_shape_struct(int8_setup):
+    det, x = int8_setup
+    spec = jax.ShapeDtypeStruct(x.shape, x.dtype)
+    serve = load_artifact(export_detect(lambda im: det(im), spec))
+    want = [np.asarray(a) for a in det(x)]
+    got = [np.asarray(a) for a in serve(x)]
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+
+
+def test_artifact_fixed_shape_contract(int8_setup):
+    """The artifact serves exactly its export shape (the reference
+    engine's fixed-schedule contract); other shapes raise."""
+    det, x = int8_setup
+    serve = load_artifact(export_detect(lambda im: det(im), x))
+    bad = np.zeros((3,) + x.shape[1:], np.float32)
+    with pytest.raises(Exception):
+        jax.block_until_ready(serve(bad))
+
+
+def test_fp32_detector_artifact(int8_setup):
+    """The float path exports too (params closed over via a lambda)."""
+    det = build_detector("slim_yolo_v2", "mask", input_size=(64, 64))
+    params = det.init_params(jax.random.PRNGKey(1))
+    x = np.random.default_rng(3).random((2, 64, 64, 3), np.float32)
+    want = [np.asarray(a) for a in det.detect(params, x)]
+    serve = load_artifact(export_detect(lambda im: det.detect(params, im),
+                                        x))
+    got = [np.asarray(a) for a in serve(x)]
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)

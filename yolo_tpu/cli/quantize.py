@@ -33,6 +33,10 @@ def parse_args(argv=None):
     parser.add_argument("--out", default=None, help="output checkpoint")
     parser.add_argument("--header", default="weight.h",
                         help="C header path for export")
+    parser.add_argument("--artifact", default=None,
+                        help="export stage: also write a serialized "
+                             "serving artifact (jax.export StableHLO "
+                             "with weights baked in) to this path")
     parser.add_argument("--calib_images", type=int, default=1000)
     parser.add_argument("--head_clip", default="auto",
                         help="prediction-head range cap: a float, "
@@ -229,6 +233,16 @@ def main(args=None):
     if args.stage == "export":
         export_c_header(m, args.header)
         print(f"wrote {args.header}")
+        if args.artifact:
+            from yolo_tpu.serving.export import save_artifact
+
+            detect = make_int8_detect_fn(m, cfg)
+            h, w = cfg.input_size
+            spec = jax.ShapeDtypeStruct(
+                (args.batch_size, h, w, 3), np.float32)
+            save_artifact(detect, spec, args.artifact)
+            print(f"wrote {args.artifact} (batch {args.batch_size}, "
+                  f"serve via yolo_tpu.serving.export.load_artifact)")
         return m
 
     # ptq: evaluate the quantized model
