@@ -47,7 +47,7 @@ from yolo_tpu.train.trainer import TrainConfig, lr_at, make_train_step
 
 def main(epochs: int = 150, size: int = 64, batch: int = 16,
          val_images: int = 512, qat_steps: int = 300,
-         qat_lr: float = 1e-5,
+         qat_lr: float = 1e-6,
          ckpt: str = "/tmp/quant_parity_params.msgpack",
          skip_train: bool = False, n_boot: int = 300):
     from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
@@ -210,6 +210,17 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
         ci_rows[k] = (d * 100, lo * 100, hi * 100)
         print(f"{k:>22}: {v:.4f}  delta {d * 100:+.2f} pts  "
               f"[{lo * 100:+.2f}, {hi * 100:+.2f}]")
+    # The QAT-vs-PTQ claim gets its OWN paired interval (the fp32-relative
+    # CIs above can't support "QAT beats PTQ" — that's a different pair)
+    qat_k = next((k for k in results if k == "int8_qat[autoclip]"), None)
+    ptq_k = next((k for k in results if k.startswith("int8_autoclip")),
+                 None)
+    if qat_k and ptq_k:
+        d, lo, hi = bootstrap_delta_ci(raw[qat_k][0], raw[ptq_k][0], gts,
+                                       n_boot=n_boot)
+        ci_rows["qat_vs_ptq_autoclip"] = (d * 100, lo * 100, hi * 100)
+        print(f"\nQAT vs PTQ (both on autoclip states, paired): "
+              f"{d * 100:+.2f} pts  [{lo * 100:+.2f}, {hi * 100:+.2f}]")
     best_k = max((k for k in results if k.startswith("int8_")
                   and "fakequant" not in k), key=lambda k: results[k])
     delta = (results["fp32"] - results[best_k]) * 100
@@ -232,7 +243,7 @@ if __name__ == "__main__":
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--val", type=int, default=512)
     p.add_argument("--qat_steps", type=int, default=300)
-    p.add_argument("--qat_lr", type=float, default=1e-5)
+    p.add_argument("--qat_lr", type=float, default=1e-6)
     p.add_argument("--n_boot", type=int, default=300)
     p.add_argument("--skip_train", action="store_true", default=False)
     a = p.parse_args()
