@@ -81,6 +81,42 @@ def test_quantize_cli_findbest(tmp_path):
     assert all(isinstance(v, int) for v in tables["retune"])
 
 
+def test_quantize_cli_export_artifact(tmp_path):
+    """export stage writes weight.h AND (with --artifact) a serialized
+    serving blob that reloads and runs without model code."""
+    import jax
+    import numpy as np
+
+    from yolo_tpu.cli.quantize import main, parse_args
+    from yolo_tpu.config import get_config
+    from yolo_tpu.detector import Detector
+    from yolo_tpu.quant.bn_fold import fold_batch_norm
+    from yolo_tpu.serving.export import load_artifact
+    from yolo_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    det = Detector(cfg)
+    fused = fold_batch_norm(det.init_params(jax.random.PRNGKey(0)))
+    src = str(tmp_path / "fused.msgpack")
+    save_checkpoint(src, fused)
+
+    header = str(tmp_path / "weight.h")
+    blob = str(tmp_path / "slim.stablehlo")
+    args = parse_args(["export", "-v", "slim_yolo_v2_q_bf",
+                       "-d", "synthetic", "--input_size", "32", "32",
+                       "-r", src, "--calib_images", "8",
+                       "--batch_size", "2", "--head_clip", "none",
+                       "--header", header, "--artifact", blob,
+                       "--no_eval"])
+    main(args)
+    assert os.path.exists(header) and os.path.getsize(header) > 100
+    serve = load_artifact(blob)
+    x = np.random.default_rng(0).random((2, 32, 32, 3), np.float32)
+    boxes, scores, classes, valid = (np.asarray(a) for a in serve(x))
+    assert boxes.shape == (2, cfg.top_k, 4)
+    assert np.isfinite(scores).all()
+
+
 def test_serve_cli_fake(monkeypatch):
     """serve CLI with the FP32 path on synthetic frames."""
     from yolo_tpu.cli.serve import main, parse_args
