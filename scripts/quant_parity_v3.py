@@ -180,6 +180,17 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
         ci_rows[k] = (d * 100, lo * 100, hi * 100)
         print(f"{k:>22}: {v:.4f}  delta {d * 100:+.2f} pts  "
               f"[{lo * 100:+.2f}, {hi * 100:+.2f}]")
+    # direct paired interval for the QAT-vs-PTQ claim (both engines on
+    # autoclip-capped states; the fp32-relative CIs can't support it)
+    qat_k = "int8_qat[autoclip]" if "int8_qat[autoclip]" in results else None
+    ptq_k = next((k for k in results if k.startswith("int8_autoclip")),
+                 None)
+    if qat_k and ptq_k:
+        d, lo, hi = bootstrap_delta_ci(raw[qat_k][0], raw[ptq_k][0], gts,
+                                       n_boot=n_boot)
+        ci_rows["qat_vs_ptq_autoclip"] = (d * 100, lo * 100, hi * 100)
+        print(f"\nQAT vs PTQ (autoclip states, paired): {d * 100:+.2f} "
+              f"pts  [{lo * 100:+.2f}, {hi * 100:+.2f}]")
     best_k = max((k for k in results if k.startswith("int8_")
                   and "fakequant" not in k), key=lambda k: results[k])
     delta = (results["fp32"] - results[best_k]) * 100
