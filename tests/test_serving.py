@@ -264,3 +264,20 @@ def test_serving_input_validation(rng):
     # the correct s2d layout passes
     good = fp.s2d_input_np(bad)
     det_s2d(good)
+
+
+def test_float_detector_input_validation(rng):
+    """The float Detector.predict/detect paths also validate input shape
+    at trace time (previously a cryptic broadcast TypeError deep in
+    decode)."""
+    import jax
+
+    from yolo_tpu.detector import build_detector
+
+    det = build_detector("slim_yolo_v2", "mask", input_size=(32, 32))
+    params = det.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="built for input_size 32x32"):
+        det.detect(params, rng.random((2, 48, 48, 3), dtype=np.float32))
+    with pytest.raises(ValueError, match="batched"):
+        det.predict(params, rng.random((32, 32, 3), dtype=np.float32))
+    det.detect(params, rng.random((2, 32, 32, 3), dtype=np.float32))

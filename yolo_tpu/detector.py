@@ -146,12 +146,8 @@ class Detector:
     # -- jittable bodies ----------------------------------------------------
 
     def _predict(self, params, images):
-        h, w = self.cfg.input_size
-        if images.shape[1:3] != (h, w):
-            raise ValueError(
-                f"images are {images.shape[1]}x{images.shape[2]} but this "
-                f"detector was configured for {h}x{w}; rebuild with "
-                f"cfg.with_input_size(...) or resize the batch")
+        from yolo_tpu.quant.fixed_point import check_serving_input
+        check_serving_input(images, self.cfg)
         if images.dtype == jnp.uint8:
             # raw RGB bytes: normalize in-graph (4x less H2D traffic)
             images = normalize_u8(images)
