@@ -110,11 +110,47 @@ def test_quantize_cli_export_artifact(tmp_path):
                        "--no_eval"])
     main(args)
     assert os.path.exists(header) and os.path.getsize(header) > 100
-    serve = load_artifact(blob)
+    serve, meta = load_artifact(blob, with_meta=True)
+    assert meta["input"] == "f32" and meta["batch"] == 2
     x = np.random.default_rng(0).random((2, 32, 32, 3), np.float32)
     boxes, scores, classes, valid = (np.asarray(a) for a in serve(x))
     assert boxes.shape == (2, cfg.top_k, 4)
     assert np.isfinite(scores).all()
+
+
+def test_serve_cli_from_artifact(tmp_path):
+    """quantize export --artifact_input s2d -> serve --artifact: the
+    frozen blob's header wires the full input pipeline (s2d layout +
+    host quantization exponent) with no model code in the serving
+    process."""
+    import jax
+    import numpy as np
+
+    from yolo_tpu.cli.quantize import main, parse_args
+    from yolo_tpu.cli.serve import main as serve_main
+    from yolo_tpu.cli.serve import parse_args as serve_args
+    from yolo_tpu.config import get_config
+    from yolo_tpu.detector import Detector
+    from yolo_tpu.quant.bn_fold import fold_batch_norm
+    from yolo_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    fused = fold_batch_norm(
+        Detector(cfg).init_params(jax.random.PRNGKey(0)))
+    src = str(tmp_path / "fused.msgpack")
+    save_checkpoint(src, fused)
+
+    blob = str(tmp_path / "slim_s2d.stablehlo")
+    main(parse_args(["export", "-v", "slim_yolo_v2_q_bf",
+                     "-d", "synthetic", "--input_size", "32", "32",
+                     "-r", src, "--calib_images", "8",
+                     "--batch_size", "4", "--head_clip", "none",
+                     "--header", str(tmp_path / "weight.h"),
+                     "--artifact", blob, "--artifact_input", "s2d",
+                     "--no_eval"]))
+    fps = serve_main(serve_args(["--artifact", blob, "--iters", "2",
+                                 "-d", "synthetic"]))
+    assert fps > 0
 
 
 def test_serve_cli_fake(monkeypatch):

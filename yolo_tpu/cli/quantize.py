@@ -37,6 +37,13 @@ def parse_args(argv=None):
                         help="export stage: also write a serialized "
                              "serving artifact (jax.export StableHLO "
                              "with weights baked in) to this path")
+    parser.add_argument("--artifact_input", default="f32",
+                        choices=["f32", "int8", "s2d"],
+                        help="input mode the artifact is exported for "
+                             "(s2d = the fastest serving layout; the "
+                             "mode + quantization exponent are recorded "
+                             "in the artifact header for cli.serve "
+                             "--artifact)")
     parser.add_argument("--calib_images", type=int, default=1000)
     parser.add_argument("--head_clip", default="auto",
                         help="prediction-head range cap: a float, "
@@ -234,15 +241,33 @@ def main(args=None):
         export_c_header(m, args.header)
         print(f"wrote {args.header}")
         if args.artifact:
+            from yolo_tpu.quant.dispatch import input_scale_exponent
             from yolo_tpu.serving.export import save_artifact
 
-            detect = make_int8_detect_fn(m, cfg)
             h, w = cfg.input_size
-            spec = jax.ShapeDtypeStruct(
-                (args.batch_size, h, w, 3), np.float32)
-            save_artifact(detect, spec, args.artifact)
+            mode = args.artifact_input
+            if mode == "s2d":
+                detect = make_int8_detect_fn(m, cfg, input_s2d=True)
+                spec = jax.ShapeDtypeStruct(
+                    (args.batch_size, h // 2 + 3, w // 2 + 3, 12),
+                    np.int8)
+            elif mode == "int8":
+                detect = make_int8_detect_fn(m, cfg)
+                spec = jax.ShapeDtypeStruct(
+                    (args.batch_size, h, w, 3), np.int8)
+            else:
+                detect = make_int8_detect_fn(m, cfg)
+                spec = jax.ShapeDtypeStruct(
+                    (args.batch_size, h, w, 3), np.float32)
+            meta = {"version": args.version, "input": mode,
+                    "sa_in": (None if mode == "f32"
+                              else input_scale_exponent(m)),
+                    "batch": args.batch_size, "input_size": [h, w]}
+            save_artifact(detect, spec, args.artifact, meta=meta)
             print(f"wrote {args.artifact} (batch {args.batch_size}, "
-                  f"serve via yolo_tpu.serving.export.load_artifact)")
+                  f"input {mode}; serve via 'python -m yolo_tpu.cli."
+                  f"serve --artifact {args.artifact}' or "
+                  f"yolo_tpu.serving.export.load_artifact)")
         return m
 
     # ptq: evaluate the quantized model

@@ -22,6 +22,13 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="yolo_tpu serving bench")
     add_common_args(parser)
     parser.add_argument("--trained_model", default=None)
+    parser.add_argument("--artifact", default=None,
+                        help="serve a frozen jax.export artifact "
+                             "(quantize export --artifact): no model "
+                             "code, weights, or calibration — the blob "
+                             "header supplies the input mode, "
+                             "quantization exponent, batch and "
+                             "resolution")
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--source", default="synthetic",
@@ -68,8 +75,42 @@ def _trained_or_none(args, cfg):
     return load_params(args, Detector(cfg))
 
 
+def _serve_artifact(args):
+    """Serve a frozen jax.export artifact: the blob header supplies the
+    input contract, so no model/quantization code runs here at all."""
+    from yolo_tpu.serving.export import load_artifact
+
+    detect, meta = load_artifact(args.artifact, with_meta=True)
+    if not meta:
+        raise SystemExit(
+            f"{args.artifact} has no metadata header — re-export with "
+            f"'quantize export --artifact' (raw blobs can still be "
+            f"served programmatically via load_artifact)")
+    h, w = meta["input_size"]
+    batch = meta["batch"]
+    cfg = build_cfg(args).with_input_size((h, w))
+    mode = meta["input"]
+    sd = StreamingDetector(
+        cfg, detect, batch_size=batch,
+        sa_in=(meta["sa_in"] if mode in ("s2d", "int8") else None),
+        s2d=(mode == "s2d"))
+    frames = _frames(args, cfg, batch)
+    print(f"artifact: {args.artifact} ({meta.get('version')}, input "
+          f"{mode}, batch {batch}, {h}x{w})")
+
+    results = sd.detect_frames(frames[:4])
+    for i, (boxes, scores, classes) in enumerate(results):
+        print(f"frame {i}: {len(scores)} detections")
+    fps = sd.benchmark(frames, iters=args.iters, overlap=True)
+    print(f"end-to-end throughput: {fps:.1f} frames/sec "
+          f"(batch {batch}, {h}x{w}, frozen artifact)")
+    return fps
+
+
 def main(args=None):
     args = args or parse_args()
+    if args.artifact:
+        return _serve_artifact(args)
     cfg = build_cfg(args)
     if args.input == "auto":
         # measured per-family best (docs/PERFORMANCE.md input-mode

@@ -26,11 +26,20 @@ Typical flow::
 
 from __future__ import annotations
 
+import json
+import struct
 from typing import Optional, Sequence, Union
 
 import jax
 import numpy as np
 from jax import export as _jex
+
+# Self-describing container: MAGIC + u32 header length + JSON header +
+# the jax.export blob. The header carries what a serving process needs
+# to FEED the graph (input mode, quantization exponent, batch/size) —
+# the weight.h role of the scale tables. Raw blobs (no magic) still
+# load for back-compat.
+_MAGIC = b"YTPUART1"
 
 
 def export_detect(detect_fn, example_input,
@@ -59,23 +68,44 @@ def export_detect(detect_fn, example_input,
     return bytes(exported.serialize())
 
 
-def load_artifact(blob: Union[bytes, str]):
+def load_artifact(blob: Union[bytes, str], with_meta: bool = False):
     """Deserialize an exported detector into a jitted callable.
 
     ``blob``: the bytes from export_detect/save_artifact, or a path.
     The returned callable runs under jit (compiled on first call,
-    cached after) and needs no model/config/weight construction."""
+    cached after) and needs no model/config/weight construction.
+
+    ``with_meta``: also return the artifact's metadata dict (empty for
+    raw blobs saved without ``meta``)."""
     if isinstance(blob, str):
         with open(blob, "rb") as f:
             blob = f.read()
+    meta = {}
+    if blob[:len(_MAGIC)] == _MAGIC:
+        (hlen,) = struct.unpack_from("<I", blob, len(_MAGIC))
+        ofs = len(_MAGIC) + 4
+        meta = json.loads(blob[ofs:ofs + hlen].decode())
+        blob = blob[ofs + hlen:]
     exported = _jex.deserialize(bytearray(blob))
-    return jax.jit(exported.call)
+    fn = jax.jit(exported.call)
+    return (fn, meta) if with_meta else fn
 
 
 def save_artifact(detect_fn, example_input, path: str,
-                  platforms: Optional[Sequence[str]] = None) -> str:
-    """export_detect + write to ``path``. Returns ``path``."""
+                  platforms: Optional[Sequence[str]] = None,
+                  meta: Optional[dict] = None) -> str:
+    """export_detect + write to ``path``. Returns ``path``.
+
+    ``meta``: optional JSON-serializable dict describing how to feed the
+    graph (e.g. input mode 's2d'|'int8'|'f32', ``sa_in`` quantization
+    exponent, batch, input_size, version) — stored in a self-describing
+    container so ``cli.serve --artifact`` can wire the input pipeline
+    without any other source of truth. Omitted -> raw blob (loads
+    anywhere jax.export does)."""
     blob = export_detect(detect_fn, example_input, platforms)
     with open(path, "wb") as f:
+        if meta is not None:
+            hdr = json.dumps(meta).encode()
+            f.write(_MAGIC + struct.pack("<I", len(hdr)) + hdr)
         f.write(blob)
     return path
