@@ -1,0 +1,116 @@
+"""Sub-8-bit weight quantization study (compression axis beyond the
+reference, which is INT8-only — retune_bias_quantize.py:73-86 hardcodes
+num_bits=8).
+
+Weights are quantized at 8/6/5/4 bits (pow2 per-tensor scales);
+activations and bias stay int8, so the integer engines, export formats
+and shift semantics are untouched — b-bit levels are a subset of int8,
+only the per-layer sw exponents move. Each width gets its own
+calibration + retune search on the b-bit weights and is served through
+the true integer engine with the autoclip head cap; mAP is reported
+with a paired bootstrap 95% CI against the 8-bit engine (the relevant
+pair for "how much accuracy does each dropped bit cost").
+
+Run on TPU (reuses the quant_parity checkpoint):
+  python scripts/quant_bitwidth.py --skip_train
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+from yolo_tpu.config import get_config
+from yolo_tpu.data import BaseTransform, BatchLoader, SyntheticDetection
+from yolo_tpu.eval.voc_eval import VOCEvaluator, bootstrap_delta_ci
+from yolo_tpu.quant.autoclip import select_head_clip
+from yolo_tpu.quant.int8_graph import (make_int8_detect_fn,
+                                       quantize_pipeline)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--val", type=int, default=1024)
+    ap.add_argument("--bits", type=int, nargs="+", default=[8, 6, 5, 4])
+    ap.add_argument("--ckpt",
+                    default="/tmp/quant_parity_params.msgpack")
+    ap.add_argument("--n_boot", type=int, default=300)
+    ap.add_argument("--out", default=None,
+                    help="write the result table to this JSON path")
+    args = ap.parse_args(argv)
+
+    from yolo_tpu.utils.checkpoint import load_checkpoint
+
+    size = args.size
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(size, size),
+                     conf_thresh=0.01)
+    if not os.path.exists(args.ckpt):
+        raise SystemExit(
+            f"{args.ckpt} not found — train one first via "
+            f"scripts/quant_parity.py (it caches its checkpoint there)")
+    params, _ = load_checkpoint(args.ckpt)
+
+    train_ds = SyntheticDetection((size, size), num_classes=2,
+                                  length=128,
+                                  transform=BaseTransform((size, size)))
+    val_ds = SyntheticDetection((size, size), num_classes=2,
+                                length=args.val,
+                                transform=BaseTransform((size, size)),
+                                seed=99)
+    evaluator = VOCEvaluator(val_ds, 2, (size, size), batch_size=64)
+    calib = [images for images, _ in
+             list(BatchLoader(train_ds, 16, shuffle=False,
+                              num_workers=0))][:8]
+
+    cap, _ = select_head_clip("slim_yolo_v2", params, cfg, calib)
+    print(f"autoclip head cap: {cap}")
+
+    results, raw, tables = {}, {}, {}
+    for bits in args.bits:
+        m = quantize_pipeline(params, cfg, calib, head_clip=cap,
+                              weight_bitwidth=bits)
+        detect = make_int8_detect_fn(m, cfg)
+        name = f"w{bits}a8"
+        results[name] = evaluator.evaluate(
+            lambda im, d=detect: d(np.asarray(im, np.float32)))
+        raw[name] = evaluator.raw
+        tables[name] = {"sw": dict(m.sw), "retune": dict(m.retune)}
+        wmax = max(int(np.abs(np.asarray(w)).max())
+                   for w in m.w_q.values())
+        assert wmax <= 2 ** (bits - 1) - 1, (bits, wmax)
+        print(f"  [{name}] mAP = {results[name]:.4f} "
+              f"(max |w_q| = {wmax})", flush=True)
+
+    base = f"w{args.bits[0]}a8"
+    _, gts = raw[base]
+    print(f"\n=== weight-bitwidth sweep (slim, {args.val} val images, "
+          f"vs {base}, paired bootstrap 95% CI) ===")
+    ci_rows = {}
+    for name, v in results.items():
+        if name == base:
+            print(f"{name:>8}: {v:.4f}")
+            continue
+        d, lo, hi = bootstrap_delta_ci(raw[name][0], raw[base][0], gts,
+                                       n_boot=args.n_boot)
+        ci_rows[name] = (d * 100, lo * 100, hi * 100)
+        print(f"{name:>8}: {v:.4f}  delta {d * 100:+.2f} pts  "
+              f"[{lo * 100:+.2f}, {hi * 100:+.2f}]")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"map": results, "delta_ci_pts_vs_w8": ci_rows,
+                       "head_clip": cap, "val_images": args.val,
+                       "sw_tables": tables}, f, indent=1)
+        print(f"wrote {args.out}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

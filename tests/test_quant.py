@@ -184,6 +184,29 @@ def test_export_c_header(rng, tmp_path):
     assert "weight_0[" in text and "bias_9[" in text
 
 
+def test_weight_bitwidth_subint8(rng):
+    """weight_bitwidth=4: weight levels fit +-7, bias/activations stay
+    int8, and the unchanged integer engine remains bit-exact with the
+    numpy oracle (sub-8-bit levels are a subset of int8 — only sw
+    moves). scripts/quant_bitwidth.py builds on this."""
+    fused = fold_batch_norm(_rand_bn_stats(_rand_params(), rng))
+    batches = [rng.random((2, 32, 32, 3), dtype=np.float32)
+               for _ in range(2)]
+    m = quantize_pipeline(fused, CFG, batches, fold_bn=False,
+                          weight_bitwidth=4)
+    for name, w in m.w_q.items():
+        assert int(np.abs(np.asarray(w)).max()) <= 7, name
+        assert int(np.abs(np.asarray(m.b_q[name])).max()) <= 127
+    x_q = fp.quantize_input(jnp.asarray(batches[0]), m.sa["in"])
+    got = np.asarray(fp.int8_forward(m, x_q))
+    want = fp.int8_forward_numpy(m, np.asarray(x_q))
+    np.testing.assert_array_equal(got, want)
+    # default path unchanged: 8-bit weights exceed the 4-bit range
+    m8 = quantize_pipeline(fused, CFG, batches, fold_bn=False)
+    assert max(int(np.abs(np.asarray(w)).max())
+               for w in m8.w_q.values()) > 7
+
+
 def test_retune_finetune_keeps_best_checkpoint():
     """retune_finetune with eval_fn returns the BEST-scoring params seen,
     not necessarily the last (reference retune driver per-epoch eval +

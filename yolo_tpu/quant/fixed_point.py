@@ -55,15 +55,22 @@ class Int8Model:
 
 
 def quantize_model(params_fused, tracker_states, retune: Dict[str, int],
-                   bitwidth: int = 8) -> Int8Model:
+                   bitwidth: int = 8,
+                   weight_bitwidth: int = None) -> Int8Model:
     """BN-fused float params + calibrated trackers + retune table ->
-    integer model."""
+    integer model.
+
+    ``weight_bitwidth``: quantize weights at a narrower width (e.g. 4)
+    while bias/activations stay at ``bitwidth``. The b-bit levels are a
+    subset of int8, so the engines and export formats are unchanged —
+    only the per-layer sw exponents shift."""
     from yolo_tpu.quant.qsim import activation_scale_exponents
 
+    wb = weight_bitwidth or bitwidth
     params_fused = jax.device_get(params_fused)  # one transfer; np math
     w_q, b_q, sw, sb = {}, {}, {}, {}
     for name in QUANT_LAYER_NAMES:
-        wq, sw[name] = q.quantize_pow2_np(params_fused[name]["w"], bitwidth)
+        wq, sw[name] = q.quantize_pow2_np(params_fused[name]["w"], wb)
         bq, sb[name] = q.quantize_pow2_np(params_fused[name]["b"], bitwidth)
         w_q[name] = np.clip(wq, INT8_MIN, INT8_MAX).astype(np.int8)
         b_q[name] = np.clip(bq, INT8_MIN, INT8_MAX).astype(np.int32)

@@ -116,7 +116,9 @@ def quantize_pipeline(params_fp32, cfg: DetectorConfig,
                       fold_bn: bool = True,
                       max_images: int = 1000,
                       head_clip: Optional[float] = None,
-                      states: Optional[dict] = None) -> fp.Int8Model:
+                      states: Optional[dict] = None,
+                      weight_bitwidth: Optional[int] = None
+                      ) -> fp.Int8Model:
     """Full PTQ pipeline: fold BN -> fake-quant weights -> calibrate
     activation ranges -> search retune shifts -> integer model.
 
@@ -128,19 +130,25 @@ def quantize_pipeline(params_fp32, cfg: DetectorConfig,
     build the engine on those frozen activation scales — e.g. the exact
     states a QAT fine-tune trained against. The retune-shift search
     still runs (it depends on the weights, not on new data).
+
+    ``weight_bitwidth``: quantize weights below 8 bits (4/5/6) — the
+    calibration, retune search, and integer model all see the b-bit
+    weights; activations/bias stay int8 (scripts/quant_bitwidth.py).
     """
     from yolo_tpu.quant.bn_fold import fold_batch_norm
 
     calib_batches = list(calib_batches)
     fused = fold_batch_norm(params_fp32) if fold_bn else params_fp32
-    params_q = qsim.fake_quantize_params(fused)
+    params_q = qsim.fake_quantize_params(fused,
+                                         weight_bitwidth=weight_bitwidth)
     if states is None:
         states = qsim.calibrate(params_q, cfg, calib_batches,
                                 max_images=max_images,
                                 head_clip=head_clip)
     retune = qsim.find_retune_exponents(params_q, cfg, states,
                                         calib_batches)
-    return fp.quantize_model(fused, states, retune)
+    return fp.quantize_model(fused, states, retune,
+                             weight_bitwidth=weight_bitwidth)
 
 
 def build_int8_detect(cfg: DetectorConfig,

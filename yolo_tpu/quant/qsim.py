@@ -35,15 +35,22 @@ def init_tracker_states() -> Dict[str, dict]:
     return {name: q.tracker_init() for name in TRACKER_NAMES}
 
 
-def fake_quantize_params(params, bitwidth: int = 8):
+def fake_quantize_params(params, bitwidth: int = 8,
+                         weight_bitwidth: int = None):
     """Fake-quantize every conv weight+bias with pow2 per-tensor scales
     (reference quantize_layers, retune_bias_quantize.py:111-119).
-    Params must be the BN-fused form ({'w','b'} per layer)."""
+    Params must be the BN-fused form ({'w','b'} per layer).
+
+    ``weight_bitwidth``: quantize WEIGHTS at a narrower width (e.g. 4)
+    while bias stays at ``bitwidth`` — the sub-8-bit compression axis
+    (scripts/quant_bitwidth.py); the integer engine is unchanged (b-bit
+    levels are a subset of int8 and the shift chain only sees sw)."""
+    wb = weight_bitwidth or bitwidth
     out = {}
     for name in QUANT_LAYER_NAMES:
         layer = params[name]
         out[name] = {
-            "w": q.fake_quantize(layer["w"], bitwidth),
+            "w": q.fake_quantize(layer["w"], wb),
             "b": q.fake_quantize(layer["b"], bitwidth),
         }
     return out
