@@ -153,6 +153,24 @@ def test_serve_cli_from_artifact(tmp_path):
     assert fps > 0
 
 
+def test_export_artifact_any_family(tmp_path):
+    """export -v tiny_yolo_v3 --artifact: family-generic artifact via
+    the int8 dispatch (weight.h stays slim-only), servable end-to-end."""
+    from yolo_tpu.cli.quantize import main, parse_args
+    from yolo_tpu.cli.serve import main as serve_main
+    from yolo_tpu.cli.serve import parse_args as serve_args
+
+    blob = str(tmp_path / "tiny_s2d.stablehlo")
+    main(parse_args(["export", "-v", "tiny_yolo_v3", "-d", "synthetic",
+                     "--input_size", "64", "64", "--calib_images", "8",
+                     "--batch_size", "4", "--head_clip", "none",
+                     "--artifact", blob, "--artifact_input", "s2d",
+                     "--no_eval"]))
+    fps = serve_main(serve_args(["--artifact", blob, "--iters", "2",
+                                 "-d", "synthetic"]))
+    assert fps > 0
+
+
 def test_serve_cli_fake(monkeypatch):
     """serve CLI with the FP32 path on synthetic frames."""
     from yolo_tpu.cli.serve import main, parse_args

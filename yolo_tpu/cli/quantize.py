@@ -98,6 +98,44 @@ def _maybe_eval(args, cfg, detect_fn, label):
     return mean_ap
 
 
+def _export_artifact_generic(args, cfg):
+    """Serialized serving artifact for ANY family via the int8 dispatch
+    (quant/dispatch.py); the blob header records the input contract."""
+    from yolo_tpu.quant.dispatch import (build_int8_detector,
+                                         input_scale_exponent)
+    from yolo_tpu.serving.export import save_artifact
+
+    det = Detector(cfg, batch_norm=True)
+    params = _load(args, det)
+    batches = _calib_batches(args, cfg)
+    head_clip = args.head_clip
+    if head_clip == "none":
+        head_clip = None
+    elif head_clip != "auto":
+        head_clip = float(head_clip)
+    mode = args.artifact_input
+    m, detect = build_int8_detector(
+        args.version, params, cfg, batches, head_clip=head_clip,
+        max_images=args.calib_images, input_s2d=(mode == "s2d"))
+    h, w = cfg.input_size
+    if mode == "s2d":
+        spec = jax.ShapeDtypeStruct(
+            (args.batch_size, h // 2 + 3, w // 2 + 3, 12), np.int8)
+    else:
+        spec = jax.ShapeDtypeStruct(
+            (args.batch_size, h, w, 3),
+            np.int8 if mode == "int8" else np.float32)
+    meta = {"version": args.version, "input": mode,
+            "sa_in": (None if mode == "f32"
+                      else input_scale_exponent(m)),
+            "batch": args.batch_size, "input_size": [h, w]}
+    save_artifact(detect, spec, args.artifact, meta=meta)
+    print(f"wrote {args.artifact} ({args.version}, batch "
+          f"{args.batch_size}, input {mode}; serve via 'python -m "
+          f"yolo_tpu.cli.serve --artifact {args.artifact}')")
+    return args.artifact
+
+
 def main(args=None):
     args = args or parse_args()
     cfg = build_cfg(args)
@@ -206,6 +244,16 @@ def main(args=None):
         save_checkpoint(out, params)
         print(f"saved {out}")
         return params
+
+    if args.stage == "export" and args.version not in (
+            "slim_yolo_v2", "slim_yolo_v2_q_bf"):
+        # family-generic artifact export (weight.h stays slim-only — it
+        # is the reference C engine's hardcoded-schedule contract)
+        if not args.artifact:
+            raise SystemExit(
+                f"export -v {args.version}: pass --artifact PATH (the "
+                f"weight.h header export is slim-only)")
+        return _export_artifact_generic(args, cfg)
 
     # ptq / findbest / export share the calibration pipeline
     from yolo_tpu.quant import qsim
