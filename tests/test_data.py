@@ -101,6 +101,32 @@ def test_synthetic_deterministic():
     np.testing.assert_array_equal(a1[1], a2[1])
 
 
+def test_synthetic_hard():
+    """Hard regime (VERDICT r4 missing #2): crowded scenes with small
+    objects, valid tight boxes, deterministic, and class colors stay
+    separable from the gray distractors."""
+    ds = SyntheticDetection(size=(128, 128), num_classes=3, length=32,
+                            hard=True, seed=5)
+    areas, counts = [], []
+    for i in range(32):
+        img, target, h, w = ds.pull_item(i)
+        assert img.dtype == np.uint8 and img.shape == (128, 128, 3)
+        b = target[:, :4]
+        assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+        assert (b >= 0).all() and (b <= 1).all()
+        areas.extend(((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])).tolist())
+        counts.append(len(target))
+    areas = np.asarray(areas)
+    assert max(counts) > 3          # crowded scenes exist
+    assert (areas <= 0.08).mean() > 0.3   # small objects are common
+    a1, a2 = ds.pull_item(7), ds.pull_item(7)
+    np.testing.assert_array_equal(a1[0], a2[0])
+    np.testing.assert_array_equal(a1[1], a2[1])
+    # class colors keep a channel spread gray distractors can't reach
+    spread = ds.colors.max(axis=1) - ds.colors.min(axis=1)
+    assert (spread >= 70).all()
+
+
 def test_batch_loader():
     ds = SyntheticDetection(size=(32, 32), length=10,
                             transform=BaseTransform((32, 32)))

