@@ -12,11 +12,20 @@ reference's acceptance bar for its quantized model,
 retune_bias_quantize.py:402 evaluating on the full mask test set).
 
 Every stage delta is reported with a PAIRED bootstrap 95% CI over the
-512-image val split (resampling images, scoring both stages on the same
-replicate) so the <=0.5-point bar is statistically meaningful — the old
-48-image split carried "a few tenths per flipped match" of noise.
+val split (resampling images, scoring both stages on the same replicate)
+so the <=0.5-point bar is statistically meaningful — the old 48-image
+split carried "a few tenths per flipped match" of noise.
 
-Run on TPU:  python scripts/quant_parity.py [--epochs 150]
+Acceptance runs belong at DEPLOYMENT resolution (--size 416 to match
+the serving headline, or 320x240 for the reference's camera pipeline,
+c_embedding/main.c:44) on the hard synthetic regime (--hard): activation
+ranges, retune headroom, and the autoclip cap are all
+resolution-dependent, and quantization deltas measured on an easy task
+systematically understate damage (VERDICT r4). The 64x64 default stays
+only as the fast smoke configuration.
+
+Run on TPU:  python scripts/quant_parity.py --size 416 --hard \
+                 --train_images 512 --val 2048 --epochs 150
 """
 
 from __future__ import annotations
@@ -48,21 +57,27 @@ from yolo_tpu.train.trainer import TrainConfig, lr_at, make_train_step
 def main(epochs: int = 150, size: int = 64, batch: int = 16,
          val_images: int = 512, qat_steps: int = 300,
          qat_lr: float = 1e-6,
-         ckpt: str = "/tmp/quant_parity_params.msgpack",
-         skip_train: bool = False, n_boot: int = 300):
+         ckpt: str = None,
+         skip_train: bool = False, n_boot: int = 300,
+         hard: bool = False, train_images: int = 128):
     from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
+    if ckpt is None:
+        ckpt = (f"/tmp/quant_parity_slim_{size}"
+                f"{'_hard' if hard else ''}.msgpack")
     cfg = get_config("slim_yolo_v2", "mask", input_size=(size, size),
                      conf_thresh=0.01)
     det = Detector(cfg)
     params = det.init_params(jax.random.PRNGKey(0))
 
     # plain transform: synthetic classes are color-coded, so photometric
-    # augmentation would erase the class signal
-    train_ds = SyntheticDetection((size, size), num_classes=2, length=128,
+    # augmentation would erase the class signal (the hard regime bakes
+    # its own photometric jitter into the generator instead)
+    train_ds = SyntheticDetection((size, size), num_classes=2,
+                                  length=train_images, hard=hard,
                                   transform=BaseTransform((size, size)))
     val_ds = SyntheticDetection((size, size), num_classes=2,
-                                length=val_images,
+                                length=val_images, hard=hard,
                                 transform=BaseTransform((size, size)),
                                 seed=99)
     loader = BatchLoader(train_ds, batch, num_workers=4)
@@ -197,8 +212,10 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
                       lambda im, d=detect_qat: d(
                           np.asarray(im, np.float32)))
 
-    print("\n=== mAP by stage (vs fp32, paired bootstrap 95% CI, "
-          f"{val_images} val images, {n_boot} replicates) ===")
+    print(f"\n=== mAP by stage @{size}x{size} input, "
+          f"{'hard' if hard else 'easy'} synthetic (vs fp32, paired "
+          f"bootstrap 95% CI, {val_images} val images, {n_boot} "
+          "replicates) ===")
     _, gts = raw["fp32"]
     ci_rows = {}
     for k, v in results.items():
@@ -230,10 +247,14 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
           f"({'PASS' if delta < 0.5 else 'CHECK'} vs the <=0.5 target; "
           f"CI half-width "
           f"{(ci[2] - ci[1]) / 2:.2f} pts vs the 0.5 bar)")
-    with open("/tmp/quant_parity_results.json", "w") as f:
+    out_json = (f"/tmp/quant_parity_results_{size}"
+                f"{'_hard' if hard else ''}.json")
+    with open(out_json, "w") as f:
         json.dump({"map": results, "delta_ci_pts": ci_rows,
-                   "val_images": val_images, "epochs": epochs}, f,
-                  indent=1)
+                   "val_images": val_images, "epochs": epochs,
+                   "input_size": size, "hard": hard,
+                   "train_images": train_images}, f, indent=1)
+    print(f"wrote {out_json}")
     return results
 
 
@@ -242,11 +263,17 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--val", type=int, default=512)
+    p.add_argument("--train_images", type=int, default=128)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--hard", action="store_true", default=False,
+                   help="crowded/small-object synthetic regime "
+                        "(data/synthetic.py hard=True)")
     p.add_argument("--qat_steps", type=int, default=300)
     p.add_argument("--qat_lr", type=float, default=1e-6)
     p.add_argument("--n_boot", type=int, default=300)
     p.add_argument("--skip_train", action="store_true", default=False)
     a = p.parse_args()
-    main(epochs=a.epochs, size=a.size, val_images=a.val,
+    main(epochs=a.epochs, size=a.size, batch=a.batch, val_images=a.val,
          qat_steps=a.qat_steps, qat_lr=a.qat_lr, n_boot=a.n_boot,
-         skip_train=a.skip_train)
+         skip_train=a.skip_train, hard=a.hard,
+         train_images=a.train_images)

@@ -61,17 +61,19 @@ def build_integer(version, params, cfg, calib, head_clip=None,
 def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
          batch: int = 16, val_images: int = 512, qat_steps: int = 300,
          qat_lr: float = 1e-6, skip_train: bool = False,
-         n_boot: int = 300):
-    ckpt = f"/tmp/quant_parity_{version}.msgpack"
+         n_boot: int = 300, hard: bool = False, train_images: int = 128):
+    ckpt = (f"/tmp/quant_parity_{version}_{size}"
+            f"{'_hard' if hard else ''}.msgpack")
     cfg = get_config(version, "mask", input_size=(size, size),
                      conf_thresh=0.01)
     det = Detector(cfg)
     params = det.init_params(jax.random.PRNGKey(0))
 
-    train_ds = SyntheticDetection((size, size), num_classes=2, length=128,
+    train_ds = SyntheticDetection((size, size), num_classes=2,
+                                  length=train_images, hard=hard,
                                   transform=BaseTransform((size, size)))
     val_ds = SyntheticDetection((size, size), num_classes=2,
-                                length=val_images,
+                                length=val_images, hard=hard,
                                 transform=BaseTransform((size, size)),
                                 seed=99)
     loader = BatchLoader(train_ds, batch, num_workers=4)
@@ -167,8 +169,9 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
         run_stage("int8_qat[autoclip]",
                   lambda im: detect_qat(np.asarray(im, np.float32)))
 
-    print(f"\n=== {version} mAP by stage (vs fp32, paired bootstrap "
-          f"95% CI, {val_images} val images) ===")
+    print(f"\n=== {version} mAP by stage @{size}x{size} input, "
+          f"{'hard' if hard else 'easy'} synthetic (vs fp32, paired "
+          f"bootstrap 95% CI, {val_images} val images) ===")
     _, gts = raw["fp32"]
     ci_rows = {}
     for k, v in results.items():
@@ -198,10 +201,14 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
     print(f"\nbest int8 integer engine = {best_k}: delta {delta:.2f} mAP"
           f" points, 95% CI [{-ci[2]:.2f}, {-ci[1]:.2f}] "
           f"({'PASS' if delta < 0.5 else 'CHECK'} vs the <=0.5 target)")
-    with open(f"/tmp/quant_parity_{version}_results.json", "w") as f:
+    out_json = (f"/tmp/quant_parity_{version}_{size}"
+                f"{'_hard' if hard else ''}_results.json")
+    with open(out_json, "w") as f:
         json.dump({"map": results, "delta_ci_pts": ci_rows,
-                   "val_images": val_images, "epochs": epochs}, f,
-                  indent=1)
+                   "val_images": val_images, "epochs": epochs,
+                   "input_size": size, "hard": hard,
+                   "train_images": train_images}, f, indent=1)
+    print(f"wrote {out_json}")
     return results
 
 
@@ -212,9 +219,14 @@ if __name__ == "__main__":
                             "yolo_v3_spp"])
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--size", type=int, default=64,
-                   help="input size (use 128 for the stride-32 yolo_v2 "
-                        "so the grid isn't 2x2)")
+                   help="input size; acceptance runs use deployment "
+                        "resolution (416), the 64 default is the fast "
+                        "smoke configuration")
     p.add_argument("--val", type=int, default=512)
+    p.add_argument("--train_images", type=int, default=128)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--hard", action="store_true", default=False,
+                   help="crowded/small-object synthetic regime")
     p.add_argument("--qat_steps", type=int, default=300)
     p.add_argument("--qat_lr", type=float, default=1e-6,
                    help="QAT LR (1e-6 measured best on slim; 1e-5 "
@@ -223,6 +235,7 @@ if __name__ == "__main__":
     p.add_argument("--skip_train", action="store_true")
     args = p.parse_args()
     main(args.version, epochs=args.epochs, size=args.size,
-         val_images=args.val, qat_steps=args.qat_steps,
+         batch=args.batch, val_images=args.val, qat_steps=args.qat_steps,
          qat_lr=args.qat_lr, n_boot=args.n_boot,
-         skip_train=args.skip_train)
+         skip_train=args.skip_train, hard=args.hard,
+         train_images=args.train_images)

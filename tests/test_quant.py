@@ -246,3 +246,77 @@ def test_retune_finetune_keeps_best_checkpoint():
     for a, b in zip(jax.tree_util.tree_leaves(snap["best"]),
                     jax.tree_util.tree_leaves(jax.device_get(best))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tracker_percentile_clip():
+    """stat_q tracks the q-th percentile of |act| instead of the max —
+    the per-tracker clip quant/autoclip.py's search sweeps."""
+    st = q.tracker_init()
+    act = jnp.asarray(np.concatenate([np.full(99, 1.0), [100.0]]),
+                      jnp.float32)
+    st_max = q.tracker_update(q.tracker_init(), act)
+    st_pct = q.tracker_update(st, act, stat_q=99.0)
+    # abs-max sees the 100.0 outlier; the 99th percentile mostly ignores
+    # it (linear interpolation between v[98]=1 and v[99]=100 -> ~1.99)
+    assert float(st_max["scale"]) == pytest.approx(127 / 100.0)
+    assert float(st_pct["scale"]) > 30 * float(st_max["scale"])
+    # stat_q=100 / None keep reference abs-max semantics
+    st_100 = q.tracker_update(q.tracker_init(), act, stat_q=100.0)
+    assert float(st_100["scale"]) == float(st_max["scale"])
+
+
+def test_pow2_quantize_per_channel(rng):
+    """Per-channel scales: each output channel gets its own pow2 grid,
+    host twin matches the device computation."""
+    t = jnp.asarray(rng.standard_normal((3, 3, 8, 16)).astype(np.float32))
+    t = t * jnp.asarray(2.0 ** rng.integers(-4, 5, 16), jnp.float32)
+    vals, scale = q.quantize_pow2(t, channel_axis=-1)
+    assert scale.shape == (1, 1, 1, 16)
+    s = np.asarray(scale).ravel()
+    assert np.all(np.log2(s) == np.round(np.log2(s)))
+    v = np.asarray(vals)
+    assert np.all(v == np.round(v)) and np.abs(v).max() <= 127
+    # per-channel fake-quant error is bounded by each channel's own step
+    fq = np.asarray(q.fake_quantize(t, channel_axis=-1))
+    err = np.abs(fq - np.asarray(t)).max(axis=(0, 1, 2))
+    assert np.all(err <= 0.5 / s + 1e-6)
+    # host twin: identical levels and exponents
+    lv, se = q.quantize_pow2_np(np.asarray(t), channel_axis=-1)
+    np.testing.assert_array_equal(lv, v)
+    np.testing.assert_array_equal(se, np.log2(s).astype(np.int32))
+
+
+@pytest.mark.parametrize("rounding", ["nearest", "floor"])
+def test_int8_per_channel_engine_matches_oracle(rng, rounding):
+    """per_channel=True: vector sw shift chain stays bit-exact between
+    the XLA engine and the numpy oracle (VERDICT r4 next #5)."""
+    fused = fold_batch_norm(_rand_bn_stats(_rand_params(), rng))
+    batches = [rng.random((2, 32, 32, 3), dtype=np.float32)
+               for _ in range(2)]
+    m = quantize_pipeline(fused, CFG, batches, fold_bn=False,
+                          per_channel=True)
+    for name in m.sw:
+        assert np.ndim(m.sw[name]) == 1, name  # per-channel exponents
+    x_q = fp.quantize_input(jnp.asarray(batches[0]), m.sa["in"])
+    got = np.asarray(fp.int8_forward(m, x_q, rounding))
+    want = fp.int8_forward_numpy(m, np.asarray(x_q), rounding)
+    np.testing.assert_array_equal(got, want)
+    # per-channel grids can't export to the one-scale-per-layer C contract
+    with pytest.raises(ValueError, match="per-channel"):
+        export_tables(m)
+    # ...nor run the phase-packed s2d forms
+    with pytest.raises(ValueError, match="per-channel"):
+        fp.int8_forward(m, x_q, s2d_layers=("conv1",))
+
+
+def test_per_channel_at_least_as_fine(rng):
+    """Every per-channel weight grid is at least as fine as the
+    per-tensor grid (the per-tensor exponent is the min over channels)."""
+    fused = fold_batch_norm(_rand_bn_stats(_rand_params(), rng))
+    batches = [rng.random((2, 32, 32, 3), dtype=np.float32)]
+    m_pt = quantize_pipeline(fused, CFG, batches, fold_bn=False)
+    m_pc = quantize_pipeline(fused, CFG, batches, fold_bn=False,
+                             per_channel=True)
+    for name in m_pt.sw:
+        assert np.all(np.asarray(m_pc.sw[name]) >= m_pt.sw[name]), name
+        assert np.min(np.asarray(m_pc.sw[name])) == m_pt.sw[name], name

@@ -58,32 +58,190 @@ def detection_agreement(float_out, int_out) -> float:
     return total / total_w
 
 
+def _float_reference(version: str, params_fp32, cfg, calib_batches):
+    """FP32 detections on the calibration batches (the agreement target)."""
+    from yolo_tpu.detector import Detector
+
+    det = Detector(cfg, batch_norm=not version.endswith("_q_bf"))
+    return [det.detect(params_fp32, b) for b in calib_batches]
+
+
+def _agreement(detect, float_outs, calib_batches) -> float:
+    return float(np.mean([
+        detection_agreement(fo, detect(b))
+        for fo, b in zip(float_outs, calib_batches)]))
+
+
 def select_head_clip(version: str, params_fp32, cfg,
                      calib_batches: Iterable[np.ndarray],
                      caps: Sequence[Optional[float]] = DEFAULT_CAPS,
-                     verbose: bool = False
-                     ) -> Tuple[Optional[float], Dict]:
+                     verbose: bool = False,
+                     float_outs=None) -> Tuple[Optional[float], Dict]:
     """Sweep ``caps``, quantize with each, and return
     (best_cap, {cap: score}) by detection agreement with the FP32 model
     on the calibration batches."""
-    from yolo_tpu.detector import Detector
     from yolo_tpu.quant.dispatch import build_int8_detector
 
     calib_batches = [np.asarray(b, np.float32) for b in calib_batches]
-    det = Detector(cfg, batch_norm=not version.endswith("_q_bf"))
-    float_outs = [det.detect(params_fp32, b) for b in calib_batches]
+    if float_outs is None:
+        float_outs = _float_reference(version, params_fp32, cfg,
+                                      calib_batches)
 
     scores: Dict = {}
     best_cap, best_score = None, -1.0
     for cap in caps:
         _, detect = build_int8_detector(version, params_fp32, cfg,
                                         calib_batches, head_clip=cap)
-        s = float(np.mean([
-            detection_agreement(fo, detect(b))
-            for fo, b in zip(float_outs, calib_batches)]))
+        s = _agreement(detect, float_outs, calib_batches)
         scores[cap] = s
         if verbose:
             print(f"head_clip={cap}: agreement {s:.4f}")
         if s > best_score:
             best_cap, best_score = cap, s
     return best_cap, scores
+
+
+# ---------------------------------------------------------------------------
+# Per-tracker clip search (VERDICT r4 next #4): the head cap only reaches
+# the prediction-head trackers, but per-tensor abs-max grids in the
+# BACKBONE are where e.g. tiny_yolo_v3's sim loss lives. Two per-tracker
+# mechanisms, both scored by the same label-free detection agreement:
+#
+#   1. percentile calibration — every tracker clips to the q-th
+#      percentile of |act| instead of the max (one swept hyperparameter,
+#      per-tracker clip values);
+#   2. greedy refinement — per tracker, try one extra bit of resolution
+#      (double the tracked scale = halve the range) and keep it iff
+#      agreement improves.
+#
+# The reference's tracker has no answer here (models/slim_yolo_v2.py:
+# 25-31 is plain abs-max EMA); its findbest search only sweeps the
+# retune shift table (retune_bias_quantize_findbest.py:115-148).
+# ---------------------------------------------------------------------------
+
+DEFAULT_PERCENTILES: Tuple[Optional[float], ...] = (
+    None, 99.95, 99.8, 99.5, 99.0)
+
+
+def calibrate_states(version: str, params_fp32, cfg, calib_batches,
+                     head_clip: Optional[float] = None,
+                     act_percentile: Optional[float] = None):
+    """Family-aware calibration: returns the tracker states (slim = name
+    dict, others = call-ordered list) that build_int8_detector(states=)
+    consumes."""
+    from yolo_tpu.detector import Detector
+    from yolo_tpu.quant.bn_fold import fold_batch_norm
+
+    fold = not version.endswith("_q_bf")
+    fused = fold_batch_norm(params_fp32) if fold else params_fp32
+    if version.startswith("slim_yolo_v2"):
+        from yolo_tpu.quant import qsim
+        params_q = qsim.fake_quantize_params(fused)
+        return qsim.calibrate(params_q, cfg, calib_batches,
+                              head_clip=head_clip,
+                              act_percentile=act_percentile)
+    from yolo_tpu.quant.generic import (
+        calibrate_generic, fake_quantize_all_convs)
+    det = Detector(cfg)
+    params_q = fake_quantize_all_convs(fused)
+    return calibrate_generic(det.module, params_q, cfg,
+                             list(calib_batches), head_clip=head_clip,
+                             act_percentile=act_percentile)
+
+
+def _tracker_items(states):
+    """Uniform (key, state) iteration, input tap excluded (image data
+    has no outlier tail; clipping it only loses information)."""
+    if isinstance(states, dict):
+        return [(k, v) for k, v in states.items() if k != "in"]
+    return list(enumerate(states))[1:]
+
+
+def _with_scale(states, key, factor: float):
+    """Copy of ``states`` with tracker ``key``'s raw EMA scale scaled by
+    ``factor`` (2.0 = one bit finer grid, half the representable range)."""
+    if isinstance(states, dict):
+        out = dict(states)
+        st = dict(out[key])
+        st["scale"] = st["scale"] * factor
+        out[key] = st
+        return out
+    out = list(states)
+    st = dict(out[key])
+    st["scale"] = st["scale"] * factor
+    out[key] = st
+    return out
+
+
+def select_quant_config(version: str, params_fp32, cfg,
+                        calib_batches: Iterable[np.ndarray],
+                        caps: Sequence[Optional[float]] = DEFAULT_CAPS,
+                        percentiles: Sequence[Optional[float]] =
+                        DEFAULT_PERCENTILES,
+                        greedy_rounds: int = 0,
+                        min_gain: float = 1e-4,
+                        verbose: bool = False) -> Tuple[dict, Dict]:
+    """Full label-free PTQ configuration search.
+
+    Stage 1 sweeps the head cap (select_head_clip); stage 2 sweeps the
+    activation percentile at the best cap (per-tracker clips from one
+    knob); stage 3 (``greedy_rounds`` > 0) refines tracker-by-tracker:
+    each round tries one extra bit of resolution on every tracker and
+    keeps the flips that improve detection agreement by > ``min_gain``.
+    Each greedy candidate is a full engine rebuild, so a round costs
+    ~n_trackers compiles — use on deployment-sized calibration only when
+    the cheaper stages leave a gap.
+
+    Returns (best, info): ``best`` has head_clip / act_percentile /
+    states / score — pass ``states`` to build_int8_detector(states=...)
+    (or any family pipeline's ``states=``) to serve this configuration.
+    """
+    from yolo_tpu.quant.dispatch import build_int8_detector
+
+    calib_batches = [np.asarray(b, np.float32) for b in calib_batches]
+    float_outs = _float_reference(version, params_fp32, cfg,
+                                  calib_batches)
+
+    cap, cap_scores = select_head_clip(version, params_fp32, cfg,
+                                       calib_batches, caps, verbose,
+                                       float_outs=float_outs)
+
+    def score_states(states) -> float:
+        _, detect = build_int8_detector(version, params_fp32, cfg,
+                                        calib_batches, states=states)
+        return _agreement(detect, float_outs, calib_batches)
+
+    pct_scores: Dict = {}
+    best_p, best_states, best_score = None, None, -1.0
+    for p in percentiles:
+        states = calibrate_states(version, params_fp32, cfg,
+                                  calib_batches, head_clip=cap,
+                                  act_percentile=p)
+        s = score_states(states)
+        pct_scores[p] = s
+        if verbose:
+            print(f"act_percentile={p}: agreement {s:.4f}")
+        if s > best_score:
+            best_p, best_states, best_score = p, states, s
+
+    flips = []
+    for r in range(greedy_rounds):
+        improved = False
+        for key, _ in _tracker_items(best_states):
+            cand = _with_scale(best_states, key, 2.0)
+            s = score_states(cand)
+            if s > best_score + min_gain:
+                if verbose:
+                    print(f"greedy[{r}] tracker {key}: {best_score:.4f} "
+                          f"-> {s:.4f} (kept)")
+                best_states, best_score = cand, s
+                flips.append((r, key, s))
+                improved = True
+        if not improved:
+            break
+
+    best = {"head_clip": cap, "act_percentile": best_p,
+            "states": best_states, "score": best_score}
+    info = {"cap_scores": cap_scores, "pct_scores": pct_scores,
+            "greedy_flips": flips}
+    return best, info

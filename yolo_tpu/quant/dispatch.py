@@ -32,6 +32,8 @@ def build_int8_detector(version: str, params_fp32, cfg: DetectorConfig,
                         head_clip=None,
                         max_images: int = 1000,
                         rounding: str = "nearest",
+                        states=None,
+                        act_percentile: float = None,
                         **maker_kwargs) -> Tuple[object, Callable]:
     """Quantize ``params_fp32`` with the family's PTQ pipeline and return
     ``(int8_model, detect_fn)``; ``detect_fn(images_f32) -> (boxes,
@@ -41,6 +43,14 @@ def build_int8_detector(version: str, params_fp32, cfg: DetectorConfig,
     and pick by detection agreement with the FP32 model — see
     quant.autoclip; the reference's findbest search spirit,
     retune_bias_quantize_findbest.py:115-148).
+
+    ``states``: pre-computed tracker states (family format: slim = name
+    dict, others = call-ordered list) — skips calibration and serves on
+    those frozen scales (the QAT path and autoclip's per-tracker search
+    both use this).
+
+    ``act_percentile``: per-tracker outlier clip during calibration —
+    track the q-th percentile of |act| instead of the abs-max.
 
     ``maker_kwargs`` (e.g. ``mesh=``, ``backend=``) pass through to the
     family's detect-fn maker when it supports them.
@@ -57,38 +67,35 @@ def build_int8_detector(version: str, params_fp32, cfg: DetectorConfig,
         from yolo_tpu.quant.autoclip import select_head_clip
         head_clip, _ = select_head_clip(version, params_fp32, cfg,
                                         calib_batches)
+    pipe_kw = dict(max_images=max_images, head_clip=head_clip,
+                   states=states, act_percentile=act_percentile)
     if family == "slim":
         from yolo_tpu.quant.int8_graph import (
             make_int8_detect_fn, quantize_pipeline)
         m = quantize_pipeline(
             params_fp32, cfg, calib_batches,
-            fold_bn=not version.endswith("_q_bf"),
-            max_images=max_images, head_clip=head_clip)
+            fold_bn=not version.endswith("_q_bf"), **pipe_kw)
         return m, make_int8_detect_fn(m, cfg, rounding=rounding,
                                       **maker_kwargs)
     if family == "tiny":
         from yolo_tpu.quant.int8_models import (
             make_int8_tiny_detect_fn, quantize_pipeline_tiny)
         m = quantize_pipeline_tiny(params_fp32, cfg, calib_batches,
-                                   max_images=max_images,
-                                   head_clip=head_clip)
+                                   **pipe_kw)
         return m, make_int8_tiny_detect_fn(m, cfg, rounding=rounding,
                                            **maker_kwargs)
     if family == "v2":
         from yolo_tpu.quant.int8_models import (
             make_int8_yolo_v2_detect_fn, quantize_pipeline_yolo_v2)
         m = quantize_pipeline_yolo_v2(params_fp32, cfg, calib_batches,
-                                      max_images=max_images,
-                                      head_clip=head_clip)
+                                      **pipe_kw)
         return m, make_int8_yolo_v2_detect_fn(m, cfg, rounding=rounding,
                                               **maker_kwargs)
     # v3 / v3_spp
     from yolo_tpu.quant.int8_yolo_v3 import (
         make_int8_yolo_v3_detect_fn, quantize_pipeline_yolo_v3)
     m = quantize_pipeline_yolo_v3(params_fp32, cfg, calib_batches,
-                                  spp=(family == "v3_spp"),
-                                  max_images=max_images,
-                                  head_clip=head_clip)
+                                  spp=(family == "v3_spp"), **pipe_kw)
     return m, make_int8_yolo_v3_detect_fn(m, cfg, rounding=rounding,
                                           **maker_kwargs)
 

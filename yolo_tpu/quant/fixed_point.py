@@ -56,21 +56,30 @@ class Int8Model:
 
 def quantize_model(params_fused, tracker_states, retune: Dict[str, int],
                    bitwidth: int = 8,
-                   weight_bitwidth: int = None) -> Int8Model:
+                   weight_bitwidth: int = None,
+                   per_channel: bool = False) -> Int8Model:
     """BN-fused float params + calibrated trackers + retune table ->
     integer model.
 
     ``weight_bitwidth``: quantize weights at a narrower width (e.g. 4)
     while bias/activations stay at ``bitwidth``. The b-bit levels are a
     subset of int8, so the engines and export formats are unchanged —
-    only the per-layer sw exponents shift."""
+    only the per-layer sw exponents shift.
+
+    ``per_channel``: per-output-channel pow2 weight scales — sw becomes
+    an int32 [C_out] array per layer and the iofs requant shift runs as
+    a per-channel epilogue op (_shift_arr). TPU-serving only: the
+    weight.h shift-chain export stays per-tensor
+    (retune_bias_quantize.py:73-86)."""
     from yolo_tpu.quant.qsim import activation_scale_exponents
 
     wb = weight_bitwidth or bitwidth
+    w_axis = -1 if per_channel else None
     params_fused = jax.device_get(params_fused)  # one transfer; np math
     w_q, b_q, sw, sb = {}, {}, {}, {}
     for name in QUANT_LAYER_NAMES:
-        wq, sw[name] = q.quantize_pow2_np(params_fused[name]["w"], wb)
+        wq, sw[name] = q.quantize_pow2_np(params_fused[name]["w"], wb,
+                                          channel_axis=w_axis)
         bq, sb[name] = q.quantize_pow2_np(params_fused[name]["b"], bitwidth)
         w_q[name] = np.clip(wq, INT8_MIN, INT8_MAX).astype(np.int8)
         b_q[name] = np.clip(bq, INT8_MIN, INT8_MAX).astype(np.int32)
@@ -84,9 +93,28 @@ def quantize_model(params_fused, tracker_states, retune: Dict[str, int],
 # ---------------------------------------------------------------------------
 
 
-def _shift(v, s: int, rounding: str, xp):
+def _shift_arr(v, s, rounding: str, xp):
+    """Per-channel variant of _shift: ``s`` is an int32 array
+    broadcastable to v (e.g. shape [C] against an NHWC accumulator).
+    Mixed signs are fine — negative entries left-shift (exact), shifts
+    >= 31 collapse to the same degenerate 0/-1 the scalar path gives."""
+    s = xp.asarray(s, xp.int32)
+    left = xp.left_shift(v, xp.maximum(-s, 0))
+    sp = xp.minimum(xp.maximum(s, 0), 31)
+    if rounding == "floor":
+        right = xp.right_shift(v, sp)
+    else:
+        off = xp.left_shift(xp.ones_like(v), xp.maximum(sp - 1, 0))
+        right = xp.right_shift(v + off - (v < 0).astype(v.dtype), sp)
+        right = xp.where(s >= 31, xp.zeros_like(v), right)
+    return xp.where(s <= 0, left, right)
+
+
+def _shift(v, s, rounding: str, xp):
     """Multiply by 2^-s in integer arithmetic. s may be negative (left
-    shift, exact)."""
+    shift, exact) or an int array (per-channel scales, _shift_arr)."""
+    if not isinstance(s, (int, np.integer)):
+        return _shift_arr(v, s, rounding, xp)
     if s == 0:
         return v
     if s < 0:
@@ -355,6 +383,13 @@ def int8_forward(m: Int8Model, x_q: jnp.ndarray,
     out = x_q
     names = list(TRACKER_NAMES)  # in, conv1..conv7(pred names), pred
     pools = {name: pool for name, _, _, pool in CONV_LAYERS}
+    if any(np.ndim(s) for s in m.sw.values()) and (
+            s2d_layers or input_s2d or pack_tail or layer_impls):
+        raise ValueError(
+            "per-channel weight scales run on the plain conv path only "
+            "(the s2d/pack/pallas forms phase-pack C_out and would need "
+            "tiled sw tables); rebuild the detect fn without "
+            "s2d_layers/input_s2d/pack_tail/layer_impls")
     tail_hw = None
     mask = None
     for i, name in enumerate(QUANT_LAYER_NAMES):

@@ -61,11 +61,12 @@ class _Tap:
     used to clip the prediction heads' tracked range."""
 
     def __init__(self, states: List[dict], update: bool, bitwidth: int,
-                 caps=None):
+                 caps=None, stat_q: float = None):
         self.states = states
         self.update = update
         self.bitwidth = bitwidth
         self.caps = caps or {}
+        self.stat_q = stat_q
         self.idx = 0
         self.new_states: List[dict] = []
         self.pre_maxima: List = []  # per-call pre-activation |max|
@@ -78,7 +79,8 @@ class _Tap:
                  else q.tracker_init())
         val, new = q.tracker_quantize(state, act, self.bitwidth,
                                       update=self.update,
-                                      max_cap=self.caps.get(self.idx))
+                                      max_cap=self.caps.get(self.idx),
+                                      stat_q=self.stat_q)
         self.new_states.append(new)
         self.idx += 1
         return val
@@ -86,15 +88,17 @@ class _Tap:
 
 def quant_forward_generic(module, params_q, x, cfg, states: List[dict],
                           update: bool = False, bitwidth: int = 8,
-                          caps=None):
+                          caps=None, stat_q: float = None):
     """Quantized (fake-quant) forward of any model module.
 
     ``states`` is the call-ordered list of tracker states (index 0 is the
     model input tap; the rest follow conv call order). Returns
     (outputs, new_states, pre_maxima) — pre_maxima is the per-conv-call
     pre-activation |max| list (accumulator headroom for the retune
-    search)."""
-    tap = _Tap(states[1:] if states else [], update, bitwidth, caps)
+    search). ``stat_q``: percentile tracking on the conv taps (the input
+    tap keeps abs-max: image data has no outlier tail)."""
+    tap = _Tap(states[1:] if states else [], update, bitwidth, caps,
+               stat_q)
     in_state = states[0] if states else q.tracker_init()
     x, new_in = q.tracker_quantize(in_state, x, bitwidth, update=update)
     with blocks.quantization_context(tap):
@@ -104,12 +108,15 @@ def quant_forward_generic(module, params_q, x, cfg, states: List[dict],
 
 def calibrate_generic(module, params_q, cfg, batches: Iterable,
                       max_images: int = 1000, bitwidth: int = 8,
-                      head_clip: float = None):
+                      head_clip: float = None,
+                      act_percentile: float = None):
     """EMA max-calibration over ~max_images images; returns final tracker
     state list (reference retune_bias_quantize.py:324-369 semantics).
 
     ``head_clip`` caps the tracked range of the prediction-head taps (the
-    last len(STRIDES) conv calls in every model family)."""
+    last len(STRIDES) conv calls in every model family).
+    ``act_percentile``: per-tracker outlier clip — track the q-th
+    percentile of |act| instead of the max on every conv tap."""
     # bootstrap: an abstract (eval_shape — zero compute, zero compile)
     # pass only to discover the number of taps; the EMA itself starts
     # fresh so the first real batch initializes it (matching the
@@ -132,7 +139,7 @@ def calibrate_generic(module, params_q, cfg, batches: Iterable,
     def step(states, x):
         _, new_states, _ = quant_forward_generic(
             module, params_q, x, cfg, states, update=True,
-            bitwidth=bitwidth, caps=caps)
+            bitwidth=bitwidth, caps=caps, stat_q=act_percentile)
         return new_states
 
     seen = 0

@@ -117,7 +117,9 @@ def quantize_pipeline(params_fp32, cfg: DetectorConfig,
                       max_images: int = 1000,
                       head_clip: Optional[float] = None,
                       states: Optional[dict] = None,
-                      weight_bitwidth: Optional[int] = None
+                      weight_bitwidth: Optional[int] = None,
+                      act_percentile: Optional[float] = None,
+                      per_channel: bool = False
                       ) -> fp.Int8Model:
     """Full PTQ pipeline: fold BN -> fake-quant weights -> calibrate
     activation ranges -> search retune shifts -> integer model.
@@ -134,21 +136,34 @@ def quantize_pipeline(params_fp32, cfg: DetectorConfig,
     ``weight_bitwidth``: quantize weights below 8 bits (4/5/6) — the
     calibration, retune search, and integer model all see the b-bit
     weights; activations/bias stay int8 (scripts/quant_bitwidth.py).
+
+    ``act_percentile``: per-tracker outlier clip during calibration
+    (track the q-th percentile of |act| instead of the abs-max;
+    quant/autoclip.py searches the best value by detection agreement).
+
+    ``per_channel``: per-OUTPUT-CHANNEL pow2 weight scales instead of
+    per-tensor — a TPU-serving opt-in (the requant becomes a [1,1,1,C]
+    shift in the conv epilogue, free under XLA fusion). Breaks the
+    weight.h shift-chain export contract, so the embedded path keeps
+    per-tensor (reference retune_bias_quantize.py:73-86).
     """
     from yolo_tpu.quant.bn_fold import fold_batch_norm
 
     calib_batches = list(calib_batches)
     fused = fold_batch_norm(params_fp32) if fold_bn else params_fp32
     params_q = qsim.fake_quantize_params(fused,
-                                         weight_bitwidth=weight_bitwidth)
+                                         weight_bitwidth=weight_bitwidth,
+                                         per_channel=per_channel)
     if states is None:
         states = qsim.calibrate(params_q, cfg, calib_batches,
                                 max_images=max_images,
-                                head_clip=head_clip)
+                                head_clip=head_clip,
+                                act_percentile=act_percentile)
     retune = qsim.find_retune_exponents(params_q, cfg, states,
                                         calib_batches)
     return fp.quantize_model(fused, states, retune,
-                             weight_bitwidth=weight_bitwidth)
+                             weight_bitwidth=weight_bitwidth,
+                             per_channel=per_channel)
 
 
 def build_int8_detect(cfg: DetectorConfig,

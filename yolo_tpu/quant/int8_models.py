@@ -165,10 +165,13 @@ def int8_tiny_forward(m: Int8Tiny, x_q: jnp.ndarray,
 def quantize_pipeline_tiny(params_fp32, cfg: DetectorConfig,
                            calib_batches, max_images: int = 1000,
                            head_clip: float = None, fold_bn: bool = True,
-                           states=None) -> Int8Tiny:
+                           states=None,
+                           act_percentile: float = None) -> Int8Tiny:
     """Full PTQ for tiny_yolo_v3: fold BN -> generic fake-quant +
     calibration -> accumulator headroom -> integer model. ``states``
-    skips calibration (serve QAT's frozen scales)."""
+    skips calibration (serve QAT's frozen scales); ``act_percentile``
+    clips every conv tracker to the q-th percentile of |act|
+    (quant/autoclip.py searches the best value)."""
     from yolo_tpu.models import tiny_yolo_v3
     from yolo_tpu.quant.bn_fold import fold_batch_norm
     from yolo_tpu.quant.generic import (
@@ -180,7 +183,8 @@ def quantize_pipeline_tiny(params_fp32, cfg: DetectorConfig,
     if states is None:
         states = calibrate_generic(tiny_yolo_v3, params_q, cfg,
                                    calib_batches, max_images=max_images,
-                                   head_clip=head_clip)
+                                   head_clip=head_clip,
+                                   act_percentile=act_percentile)
 
     @jax.jit
     def maxima_step(x):
@@ -379,10 +383,12 @@ def quantize_pipeline_yolo_v2(params_fp32, cfg: DetectorConfig,
                               calib_batches, max_images: int = 1000,
                               head_clip: float = None,
                               fold_bn: bool = True,
-                              states=None) -> Int8YoloV2:
+                              states=None,
+                              act_percentile: float = None) -> Int8YoloV2:
     """Full PTQ for yolo_v2: fold BN -> generic fake-quant + calibration
     -> accumulator headroom -> integer model. ``states`` skips
-    calibration (serve QAT's frozen scales)."""
+    calibration (serve QAT's frozen scales); ``act_percentile`` clips
+    every conv tracker to the q-th percentile of |act|."""
     from yolo_tpu.models import yolo_v2
     from yolo_tpu.quant.bn_fold import fold_batch_norm
     from yolo_tpu.quant.generic import (
@@ -394,7 +400,8 @@ def quantize_pipeline_yolo_v2(params_fp32, cfg: DetectorConfig,
     if states is None:
         states = calibrate_generic(yolo_v2, params_q, cfg, calib_batches,
                                    max_images=max_images,
-                                   head_clip=head_clip)
+                                   head_clip=head_clip,
+                                   act_percentile=act_percentile)
 
     @jax.jit
     def maxima_step(x):

@@ -303,14 +303,18 @@ def quantize_pipeline_yolo_v3(params_fp32, cfg: DetectorConfig,
                               max_images: int = 1000,
                               head_clip: float = None,
                               fold_bn: bool = True,
-                              states=None) -> Int8YoloV3:
+                              states=None,
+                              act_percentile: float = None
+                              ) -> Int8YoloV3:
     """Full PTQ for yolo_v3(-spp): fold BN -> generic calibration ->
     headroom -> integer model.
 
     Pass ``states`` (call-ordered tracker list from calibrate_generic)
     to SKIP calibration and build on those frozen activation scales —
     e.g. the exact states a QAT fine-tune trained against. The headroom
-    aggregation still runs (it depends on the weights)."""
+    aggregation still runs (it depends on the weights).
+    ``act_percentile`` clips every conv tracker to the q-th percentile
+    of |act| during calibration (quant/autoclip.py)."""
     from yolo_tpu.quant.bn_fold import fold_batch_norm
     from yolo_tpu.quant.generic import (
         calibrate_generic, fake_quantize_all_convs, quant_forward_generic)
@@ -322,7 +326,8 @@ def quantize_pipeline_yolo_v3(params_fp32, cfg: DetectorConfig,
     if states is None:
         states = calibrate_generic(module, params_q, cfg, calib_batches,
                                    max_images=max_images,
-                                   head_clip=head_clip)
+                                   head_clip=head_clip,
+                                   act_percentile=act_percentile)
 
     @jax.jit
     def maxima_step(x):

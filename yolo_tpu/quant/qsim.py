@@ -36,7 +36,8 @@ def init_tracker_states() -> Dict[str, dict]:
 
 
 def fake_quantize_params(params, bitwidth: int = 8,
-                         weight_bitwidth: int = None):
+                         weight_bitwidth: int = None,
+                         per_channel: bool = False):
     """Fake-quantize every conv weight+bias with pow2 per-tensor scales
     (reference quantize_layers, retune_bias_quantize.py:111-119).
     Params must be the BN-fused form ({'w','b'} per layer).
@@ -44,13 +45,17 @@ def fake_quantize_params(params, bitwidth: int = 8,
     ``weight_bitwidth``: quantize WEIGHTS at a narrower width (e.g. 4)
     while bias stays at ``bitwidth`` — the sub-8-bit compression axis
     (scripts/quant_bitwidth.py); the integer engine is unchanged (b-bit
-    levels are a subset of int8 and the shift chain only sees sw)."""
+    levels are a subset of int8 and the shift chain only sees sw).
+
+    ``per_channel``: per-output-channel weight scales (TPU-serving
+    opt-in; see fixed_point.quantize_model)."""
     wb = weight_bitwidth or bitwidth
+    w_axis = -1 if per_channel else None
     out = {}
     for name in QUANT_LAYER_NAMES:
         layer = params[name]
         out[name] = {
-            "w": q.fake_quantize(layer["w"], wb),
+            "w": q.fake_quantize(layer["w"], wb, channel_axis=w_axis),
             "b": q.fake_quantize(layer["b"], bitwidth),
         }
     return out
@@ -68,7 +73,8 @@ def weight_scale_exponents(params, bitwidth: int = 8):
 
 def quant_forward(params, x, cfg, tracker_states, *,
                   quantization: bool = True, update: bool = False,
-                  bitwidth: int = 8, head_clip: float = None):
+                  bitwidth: int = 8, head_clip: float = None,
+                  act_percentile: float = None):
     """Fake-quant forward.
 
     Args:
@@ -97,8 +103,12 @@ def quant_forward(params, x, cfg, tracker_states, *,
         # logits dominate |max| but saturate through sigmoid anyway, so
         # capping preserves boxes/classes at much finer resolution.
         cap = head_clip if name == "pred" else None
+        # the input tap keeps abs-max semantics: image data has no
+        # outlier tail worth trading resolution for
+        sq = act_percentile if name != "in" else None
         val, st = q.tracker_quantize(tracker_states[name], act, bitwidth,
-                                     update=update, max_cap=cap)
+                                     update=update, max_cap=cap,
+                                     stat_q=sq)
         new_states[name] = st
         return val
 
@@ -146,17 +156,22 @@ def make_quant_module(params_q, tracker_states):
 
 
 def calibrate(params_q, cfg, batches, max_images: int = 1000,
-              head_clip: float = None):
+              head_clip: float = None, act_percentile: float = None):
     """PTQ max-calibration: fold tracker EMA over ~max_images images
     (reference retune_bias_quantize.py:324-369). ``batches`` yields
-    [B, H, W, 3] arrays. Returns final tracker states."""
+    [B, H, W, 3] arrays. Returns final tracker states.
+
+    ``act_percentile``: track the q-th percentile of |act| instead of
+    the max on every non-input tracker (per-tracker outlier clip;
+    quant/autoclip.py searches the best value)."""
     states = init_tracker_states()
 
     @jax.jit
     def step(states, x):
         _, new_states, _ = quant_forward(params_q, x, cfg, states,
                                          quantization=True, update=True,
-                                         head_clip=head_clip)
+                                         head_clip=head_clip,
+                                         act_percentile=act_percentile)
         return new_states
 
     seen = 0
