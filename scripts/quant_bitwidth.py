@@ -11,8 +11,15 @@ the true integer engine with the autoclip head cap; mAP is reported
 with a paired bootstrap 95% CI against the 8-bit engine (the relevant
 pair for "how much accuracy does each dropped bit cost").
 
+``--per_channel`` additionally measures every width with per-OUTPUT-
+CHANNEL pow2 weight scales (VERDICT r4 next #5): the TPU-serving
+opt-in where the requant is a [1,1,1,C] epilogue shift — per-tensor
+scales are what make w4/w5 collapse, so this is the recovery axis.
+weight.h export stays per-tensor (the embedded shift-chain contract).
+
 Run on TPU (reuses the quant_parity checkpoint):
-  python scripts/quant_bitwidth.py --skip_train
+  python scripts/quant_bitwidth.py --ckpt /tmp/quant_parity_slim_416_hard.msgpack \
+      --size 416 --hard --per_channel
 """
 
 from __future__ import annotations
@@ -40,6 +47,12 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--val", type=int, default=1024)
     ap.add_argument("--bits", type=int, nargs="+", default=[8, 6, 5, 4])
+    ap.add_argument("--per_channel", action="store_true",
+                    help="also measure per-output-channel weight scales "
+                         "at every width (TPU-serving opt-in)")
+    ap.add_argument("--hard", action="store_true",
+                    help="crowded/small-object synthetic regime (must "
+                         "match the checkpoint's training regime)")
     ap.add_argument("--ckpt",
                     default="/tmp/quant_parity_params.msgpack")
     ap.add_argument("--n_boot", type=int, default=300)
@@ -59,10 +72,10 @@ def main(argv=None):
     params, _ = load_checkpoint(args.ckpt)
 
     train_ds = SyntheticDetection((size, size), num_classes=2,
-                                  length=128,
+                                  length=128, hard=args.hard,
                                   transform=BaseTransform((size, size)))
     val_ds = SyntheticDetection((size, size), num_classes=2,
-                                length=args.val,
+                                length=args.val, hard=args.hard,
                                 transform=BaseTransform((size, size)),
                                 seed=99)
     evaluator = VOCEvaluator(val_ds, 2, (size, size), batch_size=64)
@@ -74,15 +87,21 @@ def main(argv=None):
     print(f"autoclip head cap: {cap}")
 
     results, raw, tables = {}, {}, {}
-    for bits in args.bits:
+    variants = [(bits, False) for bits in args.bits]
+    if args.per_channel:
+        variants += [(bits, True) for bits in args.bits]
+    for bits, pc in variants:
         m = quantize_pipeline(params, cfg, calib, head_clip=cap,
-                              weight_bitwidth=bits)
+                              weight_bitwidth=bits, per_channel=pc)
         detect = make_int8_detect_fn(m, cfg)
-        name = f"w{bits}a8"
+        name = f"w{bits}a8" + ("/pc" if pc else "")
         results[name] = evaluator.evaluate(
             lambda im, d=detect: d(np.asarray(im, np.float32)))
         raw[name] = evaluator.raw
-        tables[name] = {"sw": dict(m.sw), "retune": dict(m.retune)}
+        tables[name] = {
+            "sw": {k: (np.asarray(v).tolist() if np.ndim(v) else v)
+                   for k, v in m.sw.items()},
+            "retune": dict(m.retune)}
         wmax = max(int(np.abs(np.asarray(w)).max())
                    for w in m.w_q.values())
         assert wmax <= 2 ** (bits - 1) - 1, (bits, wmax)
@@ -101,12 +120,22 @@ def main(argv=None):
         d, lo, hi = bootstrap_delta_ci(raw[name][0], raw[base][0], gts,
                                        n_boot=args.n_boot)
         ci_rows[name] = (d * 100, lo * 100, hi * 100)
-        print(f"{name:>8}: {v:.4f}  delta {d * 100:+.2f} pts  "
+        print(f"{name:>10}: {v:.4f}  delta {d * 100:+.2f} pts  "
               f"[{lo * 100:+.2f}, {hi * 100:+.2f}]")
+    # the per-channel recovery claims get their own paired interval
+    for bits in args.bits:
+        a, b = f"w{bits}a8/pc", f"w{bits}a8"
+        if a in raw and b in raw:
+            d, lo, hi = bootstrap_delta_ci(raw[a][0], raw[b][0], gts,
+                                           n_boot=args.n_boot)
+            ci_rows[f"{a}_vs_{b}"] = (d * 100, lo * 100, hi * 100)
+            print(f"per-channel vs per-tensor @w{bits}: {d * 100:+.2f} "
+                  f"pts  [{lo * 100:+.2f}, {hi * 100:+.2f}]")
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"map": results, "delta_ci_pts_vs_w8": ci_rows,
                        "head_clip": cap, "val_images": args.val,
+                       "input_size": size, "hard": args.hard,
                        "sw_tables": tables}, f, indent=1)
         print(f"wrote {args.out}")
     return results

@@ -59,7 +59,8 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
          qat_lr: float = 1e-6,
          ckpt: str = None,
          skip_train: bool = False, n_boot: int = 300,
-         hard: bool = False, train_images: int = 128):
+         hard: bool = False, train_images: int = 128,
+         greedy: int = 0):
     from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
     if ckpt is None:
@@ -170,17 +171,36 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
     run_stage("int8_headclip",
               lambda im: detect_int8_hc(np.asarray(im, np.float32)))
 
-    # automatic cap selection (quant/autoclip.py): label-free detection
-    # agreement on the calibration batches must find a cap that
-    # matches/beats the hand-picked 16
-    from yolo_tpu.quant.autoclip import select_head_clip
+    # automatic PTQ-config search (quant/autoclip.py): head-cap sweep,
+    # then per-tracker percentile sweep, then optional greedy per-tracker
+    # refinement — all scored by label-free detection agreement
+    from yolo_tpu.quant.autoclip import select_quant_config
 
-    auto_cap, cap_scores = select_head_clip(
-        "slim_yolo_v2", params, cfg, calib, verbose=True)
+    best_cfg, cfg_info = select_quant_config(
+        "slim_yolo_v2", params, cfg, calib, greedy_rounds=greedy,
+        verbose=True)
+    auto_cap = best_cfg["head_clip"]
     m_auto = quantize_pipeline(params, cfg, calib, head_clip=auto_cap)
     detect_int8_auto = make_int8_detect_fn(m_auto, cfg)
     run_stage(f"int8_autoclip[{auto_cap}]",
               lambda im: detect_int8_auto(np.asarray(im, np.float32)))
+
+    # per-tracker clip search result (percentile p on every conv tracker
+    # + any greedy flips); p=None means the search preferred plain
+    # abs-max + head cap, and the row then ties int8_autoclip
+    m_pt = quantize_pipeline(params, cfg, calib,
+                             states=best_cfg["states"])
+    detect_int8_pt = make_int8_detect_fn(m_pt, cfg)
+    run_stage(f"int8_ptclip[p={best_cfg['act_percentile']}]",
+              lambda im: detect_int8_pt(np.asarray(im, np.float32)))
+
+    # per-channel weight scales (TPU-serving opt-in; weight.h export
+    # stays per-tensor)
+    m_pc = quantize_pipeline(params, cfg, calib, head_clip=auto_cap,
+                             per_channel=True)
+    detect_int8_pc = make_int8_detect_fn(m_pc, cfg)
+    run_stage("int8_perchan",
+              lambda im: detect_int8_pc(np.asarray(im, np.float32)))
 
     # ---- QAT: train against the frozen int8 grid, serve with the SAME
     # frozen states (VERDICT r3 next #2 — the loop the reference left
@@ -198,7 +218,8 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
 
         for tag, st in [("noclip", states),
                         ("autoclip", qsim.calibrate(
-                            params_q, cfg, calib, head_clip=auto_cap))]:
+                            params_q, cfg, calib, head_clip=auto_cap)),
+                        ("ptclip", best_cfg["states"])]:
             t0 = time.time()
             tuned, _ = qat_finetune(det_f, fused, states_from_qsim(st),
                                     qat_batches(), base_lr=qat_lr,
@@ -229,15 +250,19 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
               f"[{lo * 100:+.2f}, {hi * 100:+.2f}]")
     # The QAT-vs-PTQ claim gets its OWN paired interval (the fp32-relative
     # CIs above can't support "QAT beats PTQ" — that's a different pair)
-    qat_k = next((k for k in results if k == "int8_qat[autoclip]"), None)
-    ptq_k = next((k for k in results if k.startswith("int8_autoclip")),
-                 None)
-    if qat_k and ptq_k:
-        d, lo, hi = bootstrap_delta_ci(raw[qat_k][0], raw[ptq_k][0], gts,
-                                       n_boot=n_boot)
-        ci_rows["qat_vs_ptq_autoclip"] = (d * 100, lo * 100, hi * 100)
-        print(f"\nQAT vs PTQ (both on autoclip states, paired): "
-              f"{d * 100:+.2f} pts  [{lo * 100:+.2f}, {hi * 100:+.2f}]")
+    for tag, ptq_prefix in (("autoclip", "int8_autoclip"),
+                            ("ptclip", "int8_ptclip")):
+        qat_k = next((k for k in results if k == f"int8_qat[{tag}]"),
+                     None)
+        ptq_k = next((k for k in results if k.startswith(ptq_prefix)),
+                     None)
+        if qat_k and ptq_k:
+            d, lo, hi = bootstrap_delta_ci(raw[qat_k][0], raw[ptq_k][0],
+                                           gts, n_boot=n_boot)
+            ci_rows[f"qat_vs_ptq_{tag}"] = (d * 100, lo * 100, hi * 100)
+            print(f"\nQAT vs PTQ (both on {tag} states, paired): "
+                  f"{d * 100:+.2f} pts  [{lo * 100:+.2f}, "
+                  f"{hi * 100:+.2f}]")
     best_k = max((k for k in results if k.startswith("int8_")
                   and "fakequant" not in k), key=lambda k: results[k])
     delta = (results["fp32"] - results[best_k]) * 100
@@ -253,7 +278,19 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
         json.dump({"map": results, "delta_ci_pts": ci_rows,
                    "val_images": val_images, "epochs": epochs,
                    "input_size": size, "hard": hard,
-                   "train_images": train_images}, f, indent=1)
+                   "train_images": train_images,
+                   "ptq_search": {
+                       "head_clip": auto_cap,
+                       "act_percentile": best_cfg["act_percentile"],
+                       "agreement": best_cfg["score"],
+                       "cap_scores": {str(k): v for k, v in
+                                      cfg_info["cap_scores"].items()},
+                       "pct_scores": {str(k): v for k, v in
+                                      cfg_info["pct_scores"].items()},
+                       "greedy_flips": [
+                           [r, str(k), s]
+                           for r, k, s in cfg_info["greedy_flips"]]}},
+                  f, indent=1)
     print(f"wrote {out_json}")
     return results
 
@@ -271,9 +308,13 @@ if __name__ == "__main__":
     p.add_argument("--qat_steps", type=int, default=300)
     p.add_argument("--qat_lr", type=float, default=1e-6)
     p.add_argument("--n_boot", type=int, default=300)
+    p.add_argument("--greedy", type=int, default=0,
+                   help="greedy per-tracker refinement rounds in the "
+                        "PTQ config search (each round ~n_trackers "
+                        "engine rebuilds)")
     p.add_argument("--skip_train", action="store_true", default=False)
     a = p.parse_args()
     main(epochs=a.epochs, size=a.size, batch=a.batch, val_images=a.val,
          qat_steps=a.qat_steps, qat_lr=a.qat_lr, n_boot=a.n_boot,
          skip_train=a.skip_train, hard=a.hard,
-         train_images=a.train_images)
+         train_images=a.train_images, greedy=a.greedy)

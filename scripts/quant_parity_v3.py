@@ -61,7 +61,8 @@ def build_integer(version, params, cfg, calib, head_clip=None,
 def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
          batch: int = 16, val_images: int = 512, qat_steps: int = 300,
          qat_lr: float = 1e-6, skip_train: bool = False,
-         n_boot: int = 300, hard: bool = False, train_images: int = 128):
+         n_boot: int = 300, hard: bool = False, train_images: int = 128,
+         greedy: int = 0):
     ckpt = (f"/tmp/quant_parity_{version}_{size}"
             f"{'_hard' if hard else ''}.msgpack")
     cfg = get_config(version, "mask", input_size=(size, size),
@@ -130,28 +131,36 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
     run_stage("int8_headclip",
               lambda im: int_detect_hc(np.asarray(im, np.float32)))
 
-    from yolo_tpu.quant.autoclip import select_head_clip
+    # automatic PTQ-config search: head-cap sweep, then per-tracker
+    # percentile sweep, then optional greedy refinement (VERDICT r4
+    # next #4 — tiny's sim loss lives in the backbone tracker grids
+    # the head cap can't reach)
+    from yolo_tpu.quant.autoclip import select_quant_config
 
-    auto_cap, _scores = select_head_clip(version, params, cfg, calib,
-                                         verbose=True)
+    best_cfg, cfg_info = select_quant_config(version, params, cfg, calib,
+                                             greedy_rounds=greedy,
+                                             verbose=True)
+    auto_cap = best_cfg["head_clip"]
     _, int_detect_auto = build_integer(version, params, cfg, calib,
                                        head_clip=auto_cap)
     run_stage(f"int8_autoclip[{auto_cap}]",
               lambda im: int_detect_auto(np.asarray(im, np.float32)))
 
+    _, int_detect_pt = build_integer(version, params, cfg, calib,
+                                     states=best_cfg["states"])
+    run_stage(f"int8_ptclip[p={best_cfg['act_percentile']}]",
+              lambda im: int_detect_pt(np.asarray(im, np.float32)))
+
     # ---- QAT (VERDICT r3 next #2): fine-tune against the frozen grid,
-    # serve the integer engine on the SAME frozen states.
+    # serve the integer engine on the SAME frozen states — here the
+    # per-tracker-searched states (the best PTQ config).
     if qat_steps > 0:
         from yolo_tpu.quant.bn_fold import fold_batch_norm
-        from yolo_tpu.quant.generic import (
-            calibrate_generic, fake_quantize_all_convs)
         from yolo_tpu.quant.qat import qat_finetune
 
         det_f = Detector(cfg, batch_norm=False)
         fused = fold_batch_norm(params)
-        params_q = fake_quantize_all_convs(fused)
-        states = calibrate_generic(det.module, params_q, cfg, calib,
-                                   head_clip=auto_cap)
+        states = best_cfg["states"]
 
         def qat_batches():
             while True:
@@ -166,7 +175,7 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
               flush=True)
         _, detect_qat = build_integer(version, tuned, cfg, calib,
                                       fold_bn=False, states=states)
-        run_stage("int8_qat[autoclip]",
+        run_stage("int8_qat[ptclip]",
                   lambda im: detect_qat(np.asarray(im, np.float32)))
 
     print(f"\n=== {version} mAP by stage @{size}x{size} input, "
@@ -184,15 +193,15 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
         print(f"{k:>22}: {v:.4f}  delta {d * 100:+.2f} pts  "
               f"[{lo * 100:+.2f}, {hi * 100:+.2f}]")
     # direct paired interval for the QAT-vs-PTQ claim (both engines on
-    # autoclip-capped states; the fp32-relative CIs can't support it)
-    qat_k = "int8_qat[autoclip]" if "int8_qat[autoclip]" in results else None
-    ptq_k = next((k for k in results if k.startswith("int8_autoclip")),
+    # the same searched states; the fp32-relative CIs can't support it)
+    qat_k = "int8_qat[ptclip]" if "int8_qat[ptclip]" in results else None
+    ptq_k = next((k for k in results if k.startswith("int8_ptclip")),
                  None)
     if qat_k and ptq_k:
         d, lo, hi = bootstrap_delta_ci(raw[qat_k][0], raw[ptq_k][0], gts,
                                        n_boot=n_boot)
-        ci_rows["qat_vs_ptq_autoclip"] = (d * 100, lo * 100, hi * 100)
-        print(f"\nQAT vs PTQ (autoclip states, paired): {d * 100:+.2f} "
+        ci_rows["qat_vs_ptq_ptclip"] = (d * 100, lo * 100, hi * 100)
+        print(f"\nQAT vs PTQ (ptclip states, paired): {d * 100:+.2f} "
               f"pts  [{lo * 100:+.2f}, {hi * 100:+.2f}]")
     best_k = max((k for k in results if k.startswith("int8_")
                   and "fakequant" not in k), key=lambda k: results[k])
@@ -207,7 +216,19 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
         json.dump({"map": results, "delta_ci_pts": ci_rows,
                    "val_images": val_images, "epochs": epochs,
                    "input_size": size, "hard": hard,
-                   "train_images": train_images}, f, indent=1)
+                   "train_images": train_images,
+                   "ptq_search": {
+                       "head_clip": auto_cap,
+                       "act_percentile": best_cfg["act_percentile"],
+                       "agreement": best_cfg["score"],
+                       "cap_scores": {str(k): v for k, v in
+                                      cfg_info["cap_scores"].items()},
+                       "pct_scores": {str(k): v for k, v in
+                                      cfg_info["pct_scores"].items()},
+                       "greedy_flips": [
+                           [r, str(k), s]
+                           for r, k, s in cfg_info["greedy_flips"]]}},
+                  f, indent=1)
     print(f"wrote {out_json}")
     return results
 
@@ -232,10 +253,14 @@ if __name__ == "__main__":
                    help="QAT LR (1e-6 measured best on slim; 1e-5 "
                         "degrades, docs/PARITY.md)")
     p.add_argument("--n_boot", type=int, default=300)
+    p.add_argument("--greedy", type=int, default=0,
+                   help="greedy per-tracker refinement rounds in the "
+                        "PTQ config search (each round ~n_trackers "
+                        "engine rebuilds)")
     p.add_argument("--skip_train", action="store_true")
     args = p.parse_args()
     main(args.version, epochs=args.epochs, size=args.size,
          batch=args.batch, val_images=args.val, qat_steps=args.qat_steps,
          qat_lr=args.qat_lr, n_boot=args.n_boot,
          skip_train=args.skip_train, hard=args.hard,
-         train_images=args.train_images)
+         train_images=args.train_images, greedy=args.greedy)

@@ -49,6 +49,21 @@ def parse_args(argv=None):
                         help="prediction-head range cap: a float, "
                              "'none', or 'auto' (sweep caps and pick by "
                              "detection agreement; quant/autoclip.py)")
+    parser.add_argument("--act_percentile", default="none",
+                        help="per-tracker activation clip: a percentile "
+                             "float (e.g. 99.9), 'none' (reference "
+                             "abs-max), or 'auto' (full config search: "
+                             "cap sweep + percentile sweep, "
+                             "quant.autoclip.select_quant_config)")
+    parser.add_argument("--greedy", type=int, default=0,
+                        help="with --act_percentile auto: greedy "
+                             "per-tracker refinement rounds (each round "
+                             "~n_trackers engine rebuilds)")
+    parser.add_argument("--per_channel", action="store_true",
+                        default=False,
+                        help="per-output-channel weight scales (TPU "
+                             "serving opt-in; incompatible with the "
+                             "weight.h shift-chain export)")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--lr", type=float, default=None,
                         help="fine-tune LR (default: 1e-7 for retune, "
@@ -263,21 +278,50 @@ def main(args=None):
 
     batches = _calib_batches(args, cfg)
     head_clip = args.head_clip
-    if isinstance(head_clip, str):
-        if head_clip == "none":
-            head_clip = None
-        elif head_clip == "auto":
-            from yolo_tpu.quant.autoclip import select_head_clip
-            head_clip, scores = select_head_clip(
-                args.version, params, cfg, batches, verbose=True)
-            print(f"head_clip auto -> {head_clip}")
-        else:
-            head_clip = float(head_clip)
+    states = None
+    act_pct = args.act_percentile
+    if act_pct == "auto":
+        # full config search: cap sweep + per-tracker percentile sweep
+        # (+ optional greedy refinement) by detection agreement
+        from yolo_tpu.quant.autoclip import select_quant_config
+        best, _info = select_quant_config(
+            args.version, params, cfg, batches,
+            greedy_rounds=args.greedy, verbose=True)
+        print(f"config search -> head_clip {best['head_clip']}, "
+              f"act_percentile {best['act_percentile']}, agreement "
+              f"{best['score']:.4f}")
+        states, head_clip, act_pct = best["states"], None, None
+    else:
+        act_pct = None if act_pct == "none" else float(act_pct)
+        if isinstance(head_clip, str):
+            if head_clip == "none":
+                head_clip = None
+            elif head_clip == "auto":
+                from yolo_tpu.quant.autoclip import select_head_clip
+                head_clip, scores = select_head_clip(
+                    args.version, params, cfg, batches, verbose=True)
+                print(f"head_clip auto -> {head_clip}")
+            else:
+                head_clip = float(head_clip)
     m = quantize_pipeline(params, cfg, batches, fold_bn=False,
                           max_images=args.calib_images,
-                          head_clip=head_clip)
-    tables = export_tables(m)
-    print("scale_w:", tables["scale_w"])
+                          head_clip=head_clip, states=states,
+                          act_percentile=act_pct,
+                          per_channel=args.per_channel)
+    if args.per_channel:
+        # per-channel sw has no one-scale-per-layer table form; the
+        # weight.h contract stays per-tensor
+        if args.stage == "export":
+            raise SystemExit(
+                "--per_channel engines cannot export to weight.h (one "
+                "scale_w per layer, c_embedding/yolo_forward.c:32); "
+                "drop --per_channel for embedded export or use "
+                "--artifact via a non-per-channel build")
+        tables = {"scale_b": m.sb, "scale_a": m.sa, "retune": m.retune}
+        print("scale_w: per-channel (int8 TPU-serving engine)")
+    else:
+        tables = export_tables(m)
+        print("scale_w:", tables["scale_w"])
     print("scale_b:", tables["scale_b"])
     print("scale_a:", tables["scale_a"])
     print("retune :", tables["retune"])
@@ -324,9 +368,17 @@ def main(args=None):
                 lambda im: detect(np.asarray(im, np.float32)), "ptq-int8")
     out = args.out or (args.resume or "model").replace(
         ".msgpack", "") + "_retune_quantize.msgpack"
+    if args.per_channel:
+        saved_tables = {
+            "scale_w": {k: np.asarray(v) for k, v in m.sw.items()},
+            "scale_b": {k: np.asarray(v) for k, v in m.sb.items()},
+            "scale_a": {k: np.asarray(v) for k, v in m.sa.items()},
+            "retune": {k: np.asarray(v) for k, v in m.retune.items()},
+        }
+    else:
+        saved_tables = {k: np.asarray(v) for k, v in tables.items()}
     save_checkpoint(out, {
-        "w_q": m.w_q, "b_q": m.b_q,
-        "tables": {k: np.asarray(v) for k, v in tables.items()},
+        "w_q": m.w_q, "b_q": m.b_q, "tables": saved_tables,
     })
     print(f"saved {out}")
     return m

@@ -53,7 +53,7 @@ class SyntheticDetection:
     def __init__(self, size: Tuple[int, int] = (240, 320),
                  num_classes: int = 2, length: int = 64,
                  max_objects: int = None, transform=None, seed: int = 0,
-                 hard: bool = False):
+                 hard: bool = False, cache: bool = True):
         self.size = size
         self.num_classes = num_classes
         self.length = length
@@ -61,6 +61,11 @@ class SyntheticDetection:
         self.transform = transform
         self.seed = seed
         self.hard = hard
+        # generation is host-CPU-bound (~56 ms/image for hard 416²) and
+        # deterministic per index, so cache the raw samples: a 150-epoch
+        # training run or a 15-stage parity eval regenerates each image
+        # once instead of every pass (this harness has ONE host core)
+        self._cache = {} if cache else None
         self.name = "synthetic-hard" if hard else "synthetic"
         # distinct colors per class (BGR, uint8)
         if hard:
@@ -173,11 +178,22 @@ class SyntheticDetection:
         return img, np.asarray(boxes, np.float32), np.asarray(labels)
 
     def _make(self, index):
+        if self._cache is not None:
+            hit = self._cache.get(index)
+            if hit is not None:
+                img, boxes, labels = hit
+                # consumers (augmentation) may mutate in place: hand out
+                # copies (~0.2 ms vs ~56 ms regeneration at hard 416²)
+                return img.copy(), boxes.copy(), labels.copy()
         rng = np.random.default_rng(self.seed * 100003 + index)
         h, w = self.size
-        if self.hard:
-            return self._make_hard(rng, h, w)
-        return self._make_easy(rng, h, w)
+        out = (self._make_hard(rng, h, w) if self.hard
+               else self._make_easy(rng, h, w))
+        if self._cache is not None:
+            self._cache[index] = out
+            img, boxes, labels = out
+            return img.copy(), boxes.copy(), labels.copy()
+        return out
 
     def __getitem__(self, index):
         im, gt, _, _ = self.pull_item(index)
