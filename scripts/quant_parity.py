@@ -60,7 +60,7 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
          ckpt: str = None,
          skip_train: bool = False, n_boot: int = 300,
          hard: bool = False, train_images: int = 128,
-         greedy: int = 0):
+         greedy: int = 0, lr: float = None):
     from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
     if ckpt is None:
@@ -82,14 +82,19 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
                                 transform=BaseTransform((size, size)),
                                 seed=99)
     loader = BatchLoader(train_ds, batch, num_workers=4)
-    evaluator = VOCEvaluator(val_ds, 2, (size, size), batch_size=64)
+    evaluator = VOCEvaluator(val_ds, 2, (size, size), batch_size=64,
+                             cache_device=True)
 
     if skip_train and os.path.exists(ckpt):
         params, _ = load_checkpoint(ckpt)
         print(f"loaded {ckpt}")
     else:
-        tc = TrainConfig(base_lr=1e-3, wp_epoch=2, cos=True,
-                         max_epoch=epochs)
+        if lr is None:
+            # conf loss sums over anchors -> gradient scales ~ (size/64)^2;
+            # 1e-3 is the measured-stable 64^2 setting
+            lr = 1e-3 if size <= 128 else 2.5e-4
+        tc = TrainConfig(base_lr=lr, wp_epoch=max(2, epochs // 30),
+                         cos=True, max_epoch=epochs)
         opt, step = make_train_step(det.module, cfg, tc, donate=False)
         opt_state = opt.init(params)
         t0 = time.time()
@@ -141,7 +146,7 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
             cfg.pre_nms_top_k, cfg.top_k)
 
     run_stage("int8_fakequant",
-              lambda im: _fq_detect(np.asarray(im, np.float32)))
+              lambda im: _fq_detect(im))
 
     # diagnostics: isolate weight-quant vs activation-quant damage
     run_stage("weights_only_q", lambda im: det_f.detect(params_q, im))
@@ -156,12 +161,12 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
             cfg.pre_nms_top_k, cfg.top_k)
 
     run_stage("acts_only_q",
-              lambda im: _aq_detect(np.asarray(im, np.float32)))
+              lambda im: _aq_detect(im))
 
     # true integer engine
     detect_int8 = make_int8_detect_fn(m, cfg)
     run_stage("int8_integer",
-              lambda im: detect_int8(np.asarray(im, np.float32)))
+              lambda im: detect_int8(im))
 
     # integer engine with the head-clip tracker (objectness logits
     # saturate through sigmoid, so capping their tracked range buys the
@@ -169,7 +174,7 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
     m_hc = quantize_pipeline(params, cfg, calib, head_clip=16.0)
     detect_int8_hc = make_int8_detect_fn(m_hc, cfg)
     run_stage("int8_headclip",
-              lambda im: detect_int8_hc(np.asarray(im, np.float32)))
+              lambda im: detect_int8_hc(im))
 
     # automatic PTQ-config search (quant/autoclip.py): head-cap sweep,
     # then per-tracker percentile sweep, then optional greedy per-tracker
@@ -183,7 +188,7 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
     m_auto = quantize_pipeline(params, cfg, calib, head_clip=auto_cap)
     detect_int8_auto = make_int8_detect_fn(m_auto, cfg)
     run_stage(f"int8_autoclip[{auto_cap}]",
-              lambda im: detect_int8_auto(np.asarray(im, np.float32)))
+              lambda im: detect_int8_auto(im))
 
     # per-tracker clip search result (percentile p on every conv tracker
     # + any greedy flips); p=None means the search preferred plain
@@ -192,7 +197,7 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
                              states=best_cfg["states"])
     detect_int8_pt = make_int8_detect_fn(m_pt, cfg)
     run_stage(f"int8_ptclip[p={best_cfg['act_percentile']}]",
-              lambda im: detect_int8_pt(np.asarray(im, np.float32)))
+              lambda im: detect_int8_pt(im))
 
     # per-channel weight scales (TPU-serving opt-in; weight.h export
     # stays per-tensor)
@@ -200,7 +205,7 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
                              per_channel=True)
     detect_int8_pc = make_int8_detect_fn(m_pc, cfg)
     run_stage("int8_perchan",
-              lambda im: detect_int8_pc(np.asarray(im, np.float32)))
+              lambda im: detect_int8_pc(im))
 
     # ---- QAT: train against the frozen int8 grid, serve with the SAME
     # frozen states (VERDICT r3 next #2 — the loop the reference left
@@ -231,7 +236,7 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
             detect_qat = make_int8_detect_fn(m_qat, cfg)
             run_stage(f"int8_qat[{tag}]",
                       lambda im, d=detect_qat: d(
-                          np.asarray(im, np.float32)))
+                          im))
 
     print(f"\n=== mAP by stage @{size}x{size} input, "
           f"{'hard' if hard else 'easy'} synthetic (vs fp32, paired "
@@ -307,6 +312,10 @@ if __name__ == "__main__":
                         "(data/synthetic.py hard=True)")
     p.add_argument("--qat_steps", type=int, default=300)
     p.add_argument("--qat_lr", type=float, default=1e-6)
+    p.add_argument("--lr", type=float, default=None,
+                   help="training LR (default: 1e-3 up to 128^2, "
+                        "2.5e-4 above — the summed-over-anchors loss "
+                        "scales with grid area)")
     p.add_argument("--n_boot", type=int, default=300)
     p.add_argument("--greedy", type=int, default=0,
                    help="greedy per-tracker refinement rounds in the "
@@ -317,4 +326,4 @@ if __name__ == "__main__":
     main(epochs=a.epochs, size=a.size, batch=a.batch, val_images=a.val,
          qat_steps=a.qat_steps, qat_lr=a.qat_lr, n_boot=a.n_boot,
          skip_train=a.skip_train, hard=a.hard,
-         train_images=a.train_images, greedy=a.greedy)
+         train_images=a.train_images, greedy=a.greedy, lr=a.lr)

@@ -78,14 +78,19 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
                                 transform=BaseTransform((size, size)),
                                 seed=99)
     loader = BatchLoader(train_ds, batch, num_workers=4)
-    evaluator = VOCEvaluator(val_ds, 2, (size, size), batch_size=64)
+    evaluator = VOCEvaluator(val_ds, 2, (size, size), batch_size=64,
+                             cache_device=True)
 
     if skip_train and os.path.exists(ckpt):
         params, _ = load_checkpoint(ckpt)
         print(f"loaded {ckpt}")
     else:
-        tc = TrainConfig(base_lr=1e-3, wp_epoch=2, cos=True,
-                         max_epoch=epochs)
+        if lr is None:
+            # conf loss sums over anchors -> gradient scales ~ (size/64)^2;
+            # 1e-3 is the measured-stable 64^2 setting
+            lr = 1e-3 if size <= 128 else 2.5e-4
+        tc = TrainConfig(base_lr=lr, wp_epoch=max(2, epochs // 30),
+                         cos=True, max_epoch=epochs)
         opt, step = make_train_step(det.module, cfg, tc, donate=False)
         opt_state = opt.init(params)
         t0 = time.time()
@@ -119,17 +124,17 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
 
     _, _, fq_detect = quantize_detector(det, params, calib)
     run_stage("int8_fakequant",
-              lambda im: fq_detect(np.asarray(im, np.float32)))
+              lambda im: fq_detect(im))
 
     # true integer engine: plain, hand-picked head clip, autoclip
     _, int_detect = build_integer(version, params, cfg, calib)
     run_stage("int8_integer",
-              lambda im: int_detect(np.asarray(im, np.float32)))
+              lambda im: int_detect(im))
 
     _, int_detect_hc = build_integer(version, params, cfg, calib,
                                      head_clip=16.0)
     run_stage("int8_headclip",
-              lambda im: int_detect_hc(np.asarray(im, np.float32)))
+              lambda im: int_detect_hc(im))
 
     # automatic PTQ-config search: head-cap sweep, then per-tracker
     # percentile sweep, then optional greedy refinement (VERDICT r4
@@ -144,12 +149,12 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
     _, int_detect_auto = build_integer(version, params, cfg, calib,
                                        head_clip=auto_cap)
     run_stage(f"int8_autoclip[{auto_cap}]",
-              lambda im: int_detect_auto(np.asarray(im, np.float32)))
+              lambda im: int_detect_auto(im))
 
     _, int_detect_pt = build_integer(version, params, cfg, calib,
                                      states=best_cfg["states"])
     run_stage(f"int8_ptclip[p={best_cfg['act_percentile']}]",
-              lambda im: int_detect_pt(np.asarray(im, np.float32)))
+              lambda im: int_detect_pt(im))
 
     # ---- QAT (VERDICT r3 next #2): fine-tune against the frozen grid,
     # serve the integer engine on the SAME frozen states — here the
@@ -176,7 +181,7 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
         _, detect_qat = build_integer(version, tuned, cfg, calib,
                                       fold_bn=False, states=states)
         run_stage("int8_qat[ptclip]",
-                  lambda im: detect_qat(np.asarray(im, np.float32)))
+                  lambda im: detect_qat(im))
 
     print(f"\n=== {version} mAP by stage @{size}x{size} input, "
           f"{'hard' if hard else 'easy'} synthetic (vs fp32, paired "
@@ -252,6 +257,10 @@ if __name__ == "__main__":
     p.add_argument("--qat_lr", type=float, default=1e-6,
                    help="QAT LR (1e-6 measured best on slim; 1e-5 "
                         "degrades, docs/PARITY.md)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="training LR (default: 1e-3 up to 128^2, "
+                        "2.5e-4 above — the summed-over-anchors loss "
+                        "scales with grid area)")
     p.add_argument("--n_boot", type=int, default=300)
     p.add_argument("--greedy", type=int, default=0,
                    help="greedy per-tracker refinement rounds in the "
@@ -263,4 +272,5 @@ if __name__ == "__main__":
          batch=args.batch, val_images=args.val, qat_steps=args.qat_steps,
          qat_lr=args.qat_lr, n_boot=args.n_boot,
          skip_train=args.skip_train, hard=args.hard,
-         train_images=args.train_images, greedy=args.greedy)
+         train_images=args.train_images, greedy=args.greedy,
+         lr=args.lr)

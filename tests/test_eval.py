@@ -82,3 +82,31 @@ def test_evaluator_with_oracle_detector():
 
     mean_ap = ev.evaluate(oracle)
     assert mean_ap > 0.99
+
+
+def test_evaluator_device_cache_identical():
+    """cache_device=True gives the identical mAP and GT tables as the
+    uncached path (the multi-stage parity scripts rely on it to pay
+    host generation + H2D once across ~15 stages)."""
+    import jax
+
+    from yolo_tpu.config import get_config
+    from yolo_tpu.data import BaseTransform, SyntheticDetection
+    from yolo_tpu.detector import Detector
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32),
+                     conf_thresh=0.01)
+    det = Detector(cfg)
+    params = det.init_params(jax.random.PRNGKey(0))
+    ds = SyntheticDetection((32, 32), num_classes=2, length=8,
+                            transform=BaseTransform((32, 32)), seed=5)
+    ev_plain = VOCEvaluator(ds, 2, (32, 32), batch_size=4)
+    ev_cache = VOCEvaluator(ds, 2, (32, 32), batch_size=4,
+                            cache_device=True)
+    m0 = ev_plain.evaluate(lambda im: det.detect(params, im))
+    m1 = ev_cache.evaluate(lambda im: det.detect(params, im))
+    m2 = ev_cache.evaluate(lambda im: det.detect(params, im))  # cached
+    assert m0 == m1 == m2
+    for cls in range(2):
+        for a, b in zip(ev_plain.raw[1][cls], ev_cache.raw[1][cls]):
+            np.testing.assert_array_equal(a, b)
