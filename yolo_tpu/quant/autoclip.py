@@ -58,6 +58,17 @@ def detection_agreement(float_out, int_out) -> float:
     return total / total_w
 
 
+def _as_f32_batches(batches):
+    """float32-coerce host batches; device (jax.Array) batches pass
+    through untouched — np.asarray would round-trip them through the
+    host on every use (the search scores dozens of engines on the same
+    calibration set)."""
+    import jax
+
+    return [b if isinstance(b, jax.Array) else np.asarray(b, np.float32)
+            for b in batches]
+
+
 def _float_reference(version: str, params_fp32, cfg, calib_batches):
     """FP32 detections on the calibration batches (the agreement target)."""
     from yolo_tpu.detector import Detector
@@ -82,7 +93,7 @@ def select_head_clip(version: str, params_fp32, cfg,
     on the calibration batches."""
     from yolo_tpu.quant.dispatch import build_int8_detector
 
-    calib_batches = [np.asarray(b, np.float32) for b in calib_batches]
+    calib_batches = _as_f32_batches(calib_batches)
     if float_outs is None:
         float_outs = _float_reference(version, params_fp32, cfg,
                                       calib_batches)
@@ -198,7 +209,7 @@ def select_quant_config(version: str, params_fp32, cfg,
     """
     from yolo_tpu.quant.dispatch import build_int8_detector
 
-    calib_batches = [np.asarray(b, np.float32) for b in calib_batches]
+    calib_batches = _as_f32_batches(calib_batches)
     float_outs = _float_reference(version, params_fp32, cfg,
                                   calib_batches)
 

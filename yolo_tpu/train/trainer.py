@@ -190,3 +190,63 @@ def multi_scale_sizes(stride_mult: int = 32, low: int = 10, high: int = 19):
     """The reference multi-scale bucket list: random size in
     [10, 19] * 32 every 10 iterations (train.py:287-294)."""
     return [(s * stride_mult, s * stride_mult) for s in range(low, high + 1)]
+
+
+def train_device_resident(det, cfg: DetectorConfig, tc: TrainConfig,
+                          dataset, batch: int, params,
+                          seed: int = 0, verbose: bool = True):
+    """Small-dataset training with the WHOLE dataset resident on device.
+
+    The harness host has one CPU core and a ~40 MB/s tunnel to the TPU:
+    a 512-image 416² epoch moves ~1 GB host->device, which dominates the
+    step time ~20x over the compute. For datasets that fit in HBM (the
+    synthetic parity sets: <=1 GB images + <=100 MB targets), transform
+    every sample and build its target rows ONCE, upload once, and train
+    by indexing on device — each step transfers only a [batch] int32
+    index vector.
+
+    Semantics match the BatchLoader path up to shuffle order (both draw
+    uniform random batches of the same deterministic samples; this one
+    permutes with numpy default_rng(seed)).
+
+    Returns (params, last_metrics).
+    """
+    import time
+
+    from yolo_tpu.train.targets import build_targets
+
+    imgs, tgts = [], []
+    for i in range(len(dataset)):
+        img, target, _, _ = dataset.pull_item(i)
+        imgs.append(np.asarray(img, np.float32))
+        tgts.append(np.asarray(target).reshape(-1, 5))
+    X = jnp.asarray(np.stack(imgs))
+    G = jnp.asarray(np.asarray(build_targets(cfg, tgts), np.float32))
+
+    opt, step = make_train_step(det.module, cfg, tc, donate=False)
+    opt_state = opt.init(params)
+    n = int(X.shape[0])
+    spe = max(1, n // batch)
+
+    # X/G are jit ARGUMENTS, not closure captures: a captured device
+    # array becomes an HLO constant, and serializing a ~1 GB literal to
+    # the remote compile service stalls compilation indefinitely
+    @jax.jit
+    def step_idx(params, opt_state, X, G, idx, lr):
+        return step(params, opt_state, X[idx], G[idx], lr)
+
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    metrics = {}
+    for epoch in range(tc.max_epoch):
+        order = rng.permutation(n)
+        for it in range(spe):
+            idx = jnp.asarray(order[it * batch:(it + 1) * batch])
+            lr = lr_at(tc, epoch, it, spe)
+            params, opt_state, metrics = step_idx(params, opt_state,
+                                                  X, G, idx, lr)
+        if verbose and (epoch + 1) % 10 == 0:
+            print(f"epoch {epoch + 1}: loss="
+                  f"{float(metrics['total_loss']):.3f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    return params, metrics
