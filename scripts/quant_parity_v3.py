@@ -62,7 +62,7 @@ def main(version: str = "tiny_yolo_v3", epochs: int = 150, size: int = 64,
          batch: int = 16, val_images: int = 512, qat_steps: int = 300,
          qat_lr: float = 1e-6, skip_train: bool = False,
          n_boot: int = 300, hard: bool = False, train_images: int = 128,
-         greedy: int = 0):
+         greedy: int = 0, lr: float = None):
     ckpt = (f"/tmp/quant_parity_{version}_{size}"
             f"{'_hard' if hard else ''}.msgpack")
     cfg = get_config(version, "mask", input_size=(size, size),
