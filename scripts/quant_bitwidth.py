@@ -56,6 +56,15 @@ def main(argv=None):
     ap.add_argument("--ckpt",
                     default="/tmp/quant_parity_params.msgpack")
     ap.add_argument("--n_boot", type=int, default=300)
+    ap.add_argument("--qat_steps", type=int, default=0,
+                    help="additionally QAT-fine-tune each width against "
+                         "its exact serving grid (weight_bitwidth + "
+                         "per_channel threaded into the STE forward) "
+                         "and measure the re-quantized engine")
+    ap.add_argument("--qat_lr", type=float, default=1e-6)
+    ap.add_argument("--train_images", type=int, default=128,
+                    help="QAT feed size (must match the checkpoint's "
+                         "training set for the synthetic regime)")
     ap.add_argument("--out", default=None,
                     help="write the result table to this JSON path")
     args = ap.parse_args(argv)
@@ -72,7 +81,7 @@ def main(argv=None):
     params, _ = load_checkpoint(args.ckpt)
 
     train_ds = SyntheticDetection((size, size), num_classes=2,
-                                  length=128, hard=args.hard,
+                                  length=args.train_images, hard=args.hard,
                                   transform=BaseTransform((size, size)))
     val_ds = SyntheticDetection((size, size), num_classes=2,
                                 length=args.val, hard=args.hard,
@@ -85,6 +94,30 @@ def main(argv=None):
 
     cap, _ = select_head_clip("slim_yolo_v2", params, cfg, calib)
     print(f"autoclip head cap: {cap}")
+
+    qat_feed = None
+    if args.qat_steps > 0:
+        # device-resident QAT feed: samples + targets upload once, each
+        # step slices on device (quant_parity.py's pattern)
+        import jax.numpy as jnp
+
+        from yolo_tpu.train.targets import build_targets
+
+        _imgs, _tgts = [], []
+        for i in range(len(train_ds)):
+            img, target, _, _ = train_ds.pull_item(i)
+            _imgs.append(np.asarray(img, np.float32))
+            _tgts.append(np.asarray(target).reshape(-1, 5))
+        _X = jnp.asarray(np.stack(_imgs))
+        _G = jnp.asarray(np.asarray(build_targets(cfg, _tgts),
+                                    np.float32))
+
+        def qat_feed(seed=1, batch=16):
+            rng = np.random.default_rng(seed)
+            n = _X.shape[0]
+            while True:
+                idx = rng.integers(0, n, batch)
+                yield _X[idx], _G[idx]
 
     results, raw, tables = {}, {}, {}
     variants = [(bits, False) for bits in args.bits]
@@ -108,6 +141,40 @@ def main(argv=None):
         print(f"  [{name}] mAP = {results[name]:.4f} "
               f"(max |w_q| = {wmax})", flush=True)
 
+        if args.qat_steps > 0:
+            # QAT against the EXACT serving grid of this variant:
+            # weight STE at (bits, per_channel), activation taps on the
+            # frozen states calibrated at this width, then rebuild the
+            # integer engine from the tuned masters on the SAME states.
+            import time as _time
+
+            from yolo_tpu.detector import Detector
+            from yolo_tpu.quant import qsim
+            from yolo_tpu.quant.bn_fold import fold_batch_norm
+            from yolo_tpu.quant.qat import qat_finetune, states_from_qsim
+
+            det_f = Detector(cfg, batch_norm=False)
+            fused = fold_batch_norm(params)
+            params_qw = qsim.fake_quantize_params(
+                fused, weight_bitwidth=bits, per_channel=pc)
+            st = qsim.calibrate(params_qw, cfg, calib, head_clip=cap)
+            t0 = _time.time()
+            tuned, _ = qat_finetune(det_f, fused, states_from_qsim(st),
+                                    qat_feed(), base_lr=args.qat_lr,
+                                    steps=args.qat_steps,
+                                    weight_bitwidth=bits, per_channel=pc)
+            m_q = quantize_pipeline(tuned, cfg, calib, fold_bn=False,
+                                    states=st, weight_bitwidth=bits,
+                                    per_channel=pc)
+            detect_q = make_int8_detect_fn(m_q, cfg)
+            qname = name + "+qat"
+            results[qname] = evaluator.evaluate(
+                lambda im, d=detect_q: d(np.asarray(im, np.float32)))
+            raw[qname] = evaluator.raw
+            print(f"  [{qname}] mAP = {results[qname]:.4f} "
+                  f"({args.qat_steps} steps in {_time.time() - t0:.0f}s)",
+                  flush=True)
+
     base = f"w{args.bits[0]}a8"
     _, gts = raw[base]
     print(f"\n=== weight-bitwidth sweep (slim, {args.val} val images, "
@@ -122,14 +189,18 @@ def main(argv=None):
         ci_rows[name] = (d * 100, lo * 100, hi * 100)
         print(f"{name:>10}: {v:.4f}  delta {d * 100:+.2f} pts  "
               f"[{lo * 100:+.2f}, {hi * 100:+.2f}]")
-    # the per-channel recovery claims get their own paired interval
-    for bits in args.bits:
-        a, b = f"w{bits}a8/pc", f"w{bits}a8"
+    # the per-channel / QAT recovery claims get their own paired interval
+    pairs = [(f"w{bits}a8/pc", f"w{bits}a8",
+              f"per-channel vs per-tensor @w{bits}")
+             for bits in args.bits]
+    pairs += [(n + "+qat", n, f"QAT vs PTQ @{n}")
+              for n in list(results) if not n.endswith("+qat")]
+    for a, b, label in pairs:
         if a in raw and b in raw:
             d, lo, hi = bootstrap_delta_ci(raw[a][0], raw[b][0], gts,
                                            n_boot=args.n_boot)
             ci_rows[f"{a}_vs_{b}"] = (d * 100, lo * 100, hi * 100)
-            print(f"per-channel vs per-tensor @w{bits}: {d * 100:+.2f} "
+            print(f"{label}: {d * 100:+.2f} "
                   f"pts  [{lo * 100:+.2f}, {hi * 100:+.2f}]")
     if args.out:
         with open(args.out, "w") as f:

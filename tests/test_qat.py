@@ -157,3 +157,57 @@ def test_quantize_detector_frozen_states_are_served():
     for a, b in zip(jax.tree_util.tree_leaves(got),
                     jax.tree_util.tree_leaves(want)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_weight_ste_per_channel_and_subbit_match_engine_grid():
+    """fake_quantize_ste at (weight_bitwidth, per_channel) must round to
+    the EXACT grid fixed_point.quantize_model serves: levels match
+    quantize_pow2_np at the same width/axis."""
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.normal(0, 0.3, (3, 3, 4, 8)).astype(np.float32))
+    for bits, axis in [(4, None), (4, -1), (8, -1), (5, -1)]:
+        ste = np.asarray(qat.fake_quantize_ste(w, bits, axis))
+        lv, s_exp = q.quantize_pow2_np(np.asarray(w), bits,
+                                       channel_axis=axis)
+        np.testing.assert_allclose(ste, lv / np.exp2(np.float32(s_exp)),
+                                    rtol=0, atol=1e-7)
+        # gradient stays identity regardless of grid
+        g = jax.grad(lambda t: jnp.sum(
+            qat.fake_quantize_ste(t, bits, axis)))(w)
+        np.testing.assert_array_equal(np.asarray(g), np.ones_like(ste))
+
+
+def test_qat_module_subbit_per_channel_forward_matches_qsim_grid():
+    """QATModule(weight_bitwidth=4, per_channel=True) eval forward ==
+    the generic fake-quant forward on params fake-quantized with the
+    same width/axis — the STE tree transform hits every conv leaf with
+    the serving grid."""
+    det, params, _, images = _tiny_qat_setup()
+    from yolo_tpu.quant import qsim
+
+    params_q = qsim.fake_quantize_params(params, weight_bitwidth=4,
+                                         per_channel=True)
+    states = generic.calibrate_generic(det.module, params_q, det.cfg,
+                                       [images])
+    qmod = qat.QATModule(det.module, states, weight_bitwidth=4,
+                         per_channel=True)
+    outs = qmod.forward(params, jnp.asarray(images), det.cfg)
+    ref, _, _ = generic.quant_forward_generic(
+        det.module, params_q, jnp.asarray(images), det.cfg, list(states))
+    for a, b in zip(outs, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_qat_finetune_subbit_per_channel_runs_and_preserves_masters():
+    """qat_finetune with the sub-8/per-channel grid at lr=0 returns
+    bit-identical masters (the grid options change the forward, not the
+    update base)."""
+    det, params, states, images = _tiny_qat_setup()
+    gt = build_targets(det.cfg, [np.array([[0.2, 0.2, 0.7, 0.8, 1.0]])] * 2)
+    new_params, _ = qat.qat_finetune(det, params, states,
+                                     iter([(images, gt)]), base_lr=0.0,
+                                     steps=1, weight_bitwidth=5,
+                                     per_channel=True)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(params)),
+                    jax.tree_util.tree_leaves(jax.device_get(new_params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -45,11 +45,12 @@ def _ste(x, q_val):
     return x + jax.lax.stop_gradient(q_val - x)
 
 
-def fake_quantize_ste(t, bitwidth: int = 8):
+def fake_quantize_ste(t, bitwidth: int = 8, channel_axis: int = None):
     """Weight fake-quant with STE: value = round(scale*t)/scale at the
-    pow2 per-tensor scale, gradient = identity. No clip is needed — the
-    scale is derived from max|t| so every element is in range."""
-    return _ste(t, q.fake_quantize(t, bitwidth))
+    pow2 per-tensor (or per-``channel_axis``) scale, gradient =
+    identity. No clip is needed — the scale is derived from max|t| so
+    every element is in range."""
+    return _ste(t, q.fake_quantize(t, bitwidth, channel_axis))
 
 
 def tracker_quantize_ste(state, act, bitwidth: int = 8):
@@ -66,18 +67,29 @@ def tracker_quantize_ste(state, act, bitwidth: int = 8):
     return _ste(a_c, jnp.round(scale * a_c) / scale)
 
 
-def _fq_tree_ste(params, bitwidth: int):
-    """STE twin of generic._fake_quantize_tree (conv {'w','b'} leaves)."""
+def _fq_tree_ste(params, bitwidth: int, weight_bitwidth: int = None,
+                 per_channel: bool = False):
+    """STE twin of generic._fake_quantize_tree (conv {'w','b'} leaves).
+
+    Mirrors fixed_point.quantize_model's grid exactly: weights at
+    ``weight_bitwidth or bitwidth`` with per-tensor (or per-output-
+    channel, axis -1 of HWIO) pow2 scales; biases always at ``bitwidth``
+    per-tensor — that is the grid the integer engine serves."""
+    wb = weight_bitwidth or bitwidth
+    w_axis = -1 if per_channel else None
     if isinstance(params, dict):
         if "w" in params:
             out = dict(params)
-            out["w"] = fake_quantize_ste(params["w"], bitwidth)
+            out["w"] = fake_quantize_ste(params["w"], wb, w_axis)
             if "b" in params:
                 out["b"] = fake_quantize_ste(params["b"], bitwidth)
             return out
-        return {k: _fq_tree_ste(v, bitwidth) for k, v in params.items()}
+        return {k: _fq_tree_ste(v, bitwidth, weight_bitwidth, per_channel)
+                for k, v in params.items()}
     if isinstance(params, (list, tuple)):
-        return type(params)(_fq_tree_ste(v, bitwidth) for v in params)
+        return type(params)(
+            _fq_tree_ste(v, bitwidth, weight_bitwidth, per_channel)
+            for v in params)
     return params
 
 
@@ -110,19 +122,23 @@ class QATModule:
     """
 
     def __init__(self, base_module, states: Sequence[dict],
-                 bitwidth: int = 8):
+                 bitwidth: int = 8, weight_bitwidth: int = None,
+                 per_channel: bool = False):
         self.base = base_module
         self.STRIDES = base_module.STRIDES
         self.states = [jax.tree_util.tree_map(jnp.asarray, s)
                        for s in states]
         self.bitwidth = bitwidth
+        self.weight_bitwidth = weight_bitwidth
+        self.per_channel = per_channel
 
     def init_params(self, rng, cfg, batch_norm=False, dtype=None):
         return self.base.init_params(rng, cfg, batch_norm=batch_norm,
                                      dtype=dtype)
 
     def forward(self, params, x, cfg, train: bool = False):
-        params_q = _fq_tree_ste(params, self.bitwidth)
+        params_q = _fq_tree_ste(params, self.bitwidth,
+                                self.weight_bitwidth, self.per_channel)
         x = tracker_quantize_ste(self.states[0], x, self.bitwidth)
         tap = _QATTap(self.states[1:], self.bitwidth)
         with blocks.quantization_context(tap):
@@ -172,7 +188,8 @@ def _assert_bn_free(params, where: str):
 
 def qat_finetune(det, params_fused, states: Sequence[dict],
                  batches_with_targets, base_lr: float = 1e-5,
-                 steps: int = 100, bitwidth: int = 8, mesh=None):
+                 steps: int = 100, bitwidth: int = 8, mesh=None,
+                 weight_bitwidth: int = None, per_channel: bool = False):
     """Fine-tune BN-fused fp32 params under the fake-quant forward.
 
     Args:
@@ -181,14 +198,21 @@ def qat_finetune(det, params_fused, states: Sequence[dict],
       states: call-ordered calibrated tracker states
         (generic.calibrate_generic output, or states_from_qsim(...)).
       batches_with_targets: yields (images [B,H,W,3], gt_tensor).
+      weight_bitwidth / per_channel: train against the exact sub-8-bit
+        and/or per-output-channel weight grid the engine will serve
+        (fixed_point.quantize_model semantics); activations/bias stay
+        at ``bitwidth``.
 
     Returns (params, last_metrics) — same contract as retune_finetune;
-    re-quantize the result through the usual PTQ builders.
+    re-quantize the result through the usual PTQ builders (passing the
+    SAME weight_bitwidth/per_channel/states).
     """
     from yolo_tpu.train.trainer import TrainConfig, make_train_step
 
     _assert_bn_free(params_fused, "qat_finetune")
-    qmod = QATModule(det.module, states, bitwidth)
+    qmod = QATModule(det.module, states, bitwidth,
+                     weight_bitwidth=weight_bitwidth,
+                     per_channel=per_channel)
     tc = TrainConfig(base_lr=base_lr, wp_epoch=0)
     opt, step = make_train_step(qmod, det.cfg, tc, mesh=mesh,
                                 donate=False)
