@@ -298,3 +298,34 @@ def test_quantize_cli_qat(tmp_path):
     for leaf in jax.tree_util.tree_leaves(params):
         import numpy as np
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_quantize_cli_qat_grid_options(tmp_path):
+    """--weight_bits/--per_channel thread the serving grid into the QAT
+    stage (STE weights on the sub-8/per-channel pow2 grid)."""
+    import jax
+
+    from yolo_tpu.cli.quantize import main, parse_args
+    from yolo_tpu.config import get_config
+    from yolo_tpu.detector import Detector
+    from yolo_tpu.quant.bn_fold import fold_batch_norm
+    from yolo_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = get_config("slim_yolo_v2", "mask", input_size=(32, 32))
+    det = Detector(cfg)
+    fused = fold_batch_norm(det.init_params(jax.random.PRNGKey(0)))
+    src = str(tmp_path / "fused.msgpack")
+    save_checkpoint(src, fused)
+
+    out = str(tmp_path / "qat_w4pc.msgpack")
+    args = parse_args(["qat", "-v", "slim_yolo_v2_q_bf",
+                       "-d", "synthetic", "--input_size", "32", "32",
+                       "-r", src, "--calib_images", "8",
+                       "--batch_size", "4", "--steps", "2",
+                       "--weight_bits", "4", "--per_channel",
+                       "--head_clip", "16", "--out", out, "--no_eval"])
+    params = main(args)
+    assert os.path.exists(out)
+    for leaf in jax.tree_util.tree_leaves(params):
+        import numpy as np
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -64,6 +64,12 @@ def parse_args(argv=None):
                         help="per-output-channel weight scales (TPU "
                              "serving opt-in; incompatible with the "
                              "weight.h shift-chain export)")
+    parser.add_argument("--weight_bits", type=int, default=8,
+                        choices=[4, 5, 6, 8],
+                        help="weight bitwidth (sub-8-bit levels are a "
+                             "subset of int8, so engines and exports "
+                             "are unchanged; pair with --per_channel "
+                             "below 6 bits — docs/PARITY.md)")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--lr", type=float, default=None,
                         help="fine-tune LR (default: 1e-7 for retune, "
@@ -226,7 +232,9 @@ def main(args=None):
                 print(f"head_clip auto -> {head_clip}")
             else:
                 head_clip = float(head_clip)
-        params_q = generic.fake_quantize_all_convs(params)
+        wb = None if args.weight_bits == 8 else args.weight_bits
+        params_q = generic.fake_quantize_all_convs(
+            params, weight_bitwidth=wb, per_channel=args.per_channel)
         states = generic.calibrate_generic(
             det.module, params_q, cfg, calib,
             max_images=args.calib_images, head_clip=head_clip)
@@ -241,7 +249,9 @@ def main(args=None):
 
         lr = args.lr if args.lr is not None else 1e-5  # QAT default
         params, metrics = qat_finetune(det, params, states, batches(),
-                                       base_lr=lr, steps=args.steps)
+                                       base_lr=lr, steps=args.steps,
+                                       weight_bitwidth=wb,
+                                       per_channel=args.per_channel)
         if metrics is not None:
             print("qat final loss:",
                   float(jax.device_get(metrics["total_loss"])))
@@ -252,7 +262,8 @@ def main(args=None):
             _, _, detect_q = generic.quantize_detector(
                 det, params, calib, fold_bn=False,
                 max_images=args.calib_images, head_clip=head_clip,
-                states=states)
+                states=states, weight_bitwidth=wb,
+                per_channel=args.per_channel)
             _maybe_eval(args, cfg, detect_q, "qat-int8sim")
         out = args.out or (args.resume or "model").replace(
             ".msgpack", "") + "_qat.msgpack"
@@ -307,6 +318,8 @@ def main(args=None):
                           max_images=args.calib_images,
                           head_clip=head_clip, states=states,
                           act_percentile=act_pct,
+                          weight_bitwidth=(None if args.weight_bits == 8
+                                           else args.weight_bits),
                           per_channel=args.per_channel)
     if args.per_channel:
         # per-channel sw has no one-scale-per-layer table form; the

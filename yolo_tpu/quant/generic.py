@@ -28,30 +28,41 @@ from yolo_tpu.ops import blocks
 from yolo_tpu.quant import quantize as q
 
 
-def _fake_quantize_tree(params, bitwidth: int):
+def _fake_quantize_tree(params, bitwidth: int, weight_bitwidth: int = None,
+                        per_channel: bool = False):
+    wb = weight_bitwidth or bitwidth
+    w_axis = -1 if per_channel else None
     if isinstance(params, dict):
         if "w" in params:
             out = dict(params)
-            out["w"] = q.fake_quantize(params["w"], bitwidth)
+            out["w"] = q.fake_quantize(params["w"], wb, w_axis)
             if "b" in params:
                 out["b"] = q.fake_quantize(params["b"], bitwidth)
             return out
-        return {k: _fake_quantize_tree(v, bitwidth)
+        return {k: _fake_quantize_tree(v, bitwidth, weight_bitwidth,
+                                       per_channel)
                 for k, v in params.items()}
     if isinstance(params, (list, tuple)):
-        return type(params)(_fake_quantize_tree(v, bitwidth)
-                            for v in params)
+        return type(params)(
+            _fake_quantize_tree(v, bitwidth, weight_bitwidth, per_channel)
+            for v in params)
     return params
 
 
-@partial(jax.jit, static_argnums=1)
-def fake_quantize_all_convs(params, bitwidth: int = 8):
-    """Fake-quantize every conv weight/bias in an arbitrary pytree
-    (pow2 per-tensor scales). BN params are left alone — fold first for
-    reference-parity quantization of BN models. One jitted program for
-    the whole tree (per-leaf eager dispatch over the TPU tunnel costs
-    ~50 s for darknet-53)."""
-    return _fake_quantize_tree(params, bitwidth)
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def fake_quantize_all_convs(params, bitwidth: int = 8,
+                            weight_bitwidth: int = None,
+                            per_channel: bool = False):
+    """Fake-quantize every conv weight/bias in an arbitrary pytree.
+    Weights at ``weight_bitwidth or bitwidth`` with per-tensor (or
+    per-output-channel, HWIO axis -1) pow2 scales; biases at
+    ``bitwidth`` per-tensor — fixed_point.quantize_model's exact grid.
+    BN params are left alone — fold first for reference-parity
+    quantization of BN models. One jitted program for the whole tree
+    (per-leaf eager dispatch over the TPU tunnel costs ~50 s for
+    darknet-53)."""
+    return _fake_quantize_tree(params, bitwidth, weight_bitwidth,
+                               per_channel)
 
 
 class _Tap:
@@ -153,13 +164,19 @@ def calibrate_generic(module, params_q, cfg, batches: Iterable,
 
 def quantize_detector(det, params, calib_batches, fold_bn: bool = True,
                       max_images: int = 1000, bitwidth: int = 8,
-                      head_clip: float = None, states=None):
+                      head_clip: float = None, states=None,
+                      weight_bitwidth: int = None,
+                      per_channel: bool = False):
     """Full generic PTQ: (fold BN ->) fake-quant weights -> calibrate.
 
     Pass ``states`` (a call-ordered tracker-state list) to SKIP
     calibration and serve with those frozen scales — e.g. the exact
     states a QAT fine-tune trained against (re-calibrating on the tuned
     weights could move a pow2 exponent and break the trained grid).
+
+    ``weight_bitwidth`` / ``per_channel``: sub-8-bit and/or per-output-
+    channel weight grids (fake_quantize_all_convs semantics) — must
+    match the grid the integer engine will serve.
 
     Returns (params_q, tracker_states, detect_fn) where detect_fn is the
     jitted quantized batched detector with the same signature as
@@ -169,7 +186,8 @@ def quantize_detector(det, params, calib_batches, fold_bn: bool = True,
     from yolo_tpu.quant.bn_fold import fold_batch_norm
 
     fused = fold_batch_norm(params) if fold_bn else params
-    params_q = fake_quantize_all_convs(fused, bitwidth)
+    params_q = fake_quantize_all_convs(fused, bitwidth, weight_bitwidth,
+                                       per_channel)
     if states is None:
         states = calibrate_generic(det.module, params_q, det.cfg,
                                    list(calib_batches), max_images,
