@@ -137,7 +137,10 @@ def _export_artifact_generic(args, cfg):
     mode = args.artifact_input
     m, detect = build_int8_detector(
         args.version, params, cfg, batches, head_clip=head_clip,
-        max_images=args.calib_images, input_s2d=(mode == "s2d"))
+        max_images=args.calib_images, input_s2d=(mode == "s2d"),
+        weight_bitwidth=(None if args.weight_bits == 8
+                         else args.weight_bits),
+        per_channel=args.per_channel)
     h, w = cfg.input_size
     if mode == "s2d":
         spec = jax.ShapeDtypeStruct(

@@ -34,6 +34,8 @@ def build_int8_detector(version: str, params_fp32, cfg: DetectorConfig,
                         rounding: str = "nearest",
                         states=None,
                         act_percentile: float = None,
+                        weight_bitwidth: int = None,
+                        per_channel: bool = False,
                         **maker_kwargs) -> Tuple[object, Callable]:
     """Quantize ``params_fp32`` with the family's PTQ pipeline and return
     ``(int8_model, detect_fn)``; ``detect_fn(images_f32) -> (boxes,
@@ -68,7 +70,9 @@ def build_int8_detector(version: str, params_fp32, cfg: DetectorConfig,
         head_clip, _ = select_head_clip(version, params_fp32, cfg,
                                         calib_batches)
     pipe_kw = dict(max_images=max_images, head_clip=head_clip,
-                   states=states, act_percentile=act_percentile)
+                   states=states, act_percentile=act_percentile,
+                   weight_bitwidth=weight_bitwidth,
+                   per_channel=per_channel)
     if family == "slim":
         from yolo_tpu.quant.int8_graph import (
             make_int8_detect_fn, quantize_pipeline)

@@ -712,7 +712,10 @@ def int_conv_requant(x, w_q, b_q, *, sw: int, sb: int, sa_in, sa_out: int,
     parts = x if isinstance(x, (list, tuple)) else [(x, sa_in)]
     # accumulate raw int32 partials per shift amount, shift once per
     # group (same-scale branches are then exactly equivalent to a plain
-    # conv over their concat)
+    # conv over their concat). Per-channel sw is an int32 [C_out] array
+    # (unhashable): group by the scalar input scale instead — branches
+    # with the same sa then still share one (per-channel) shift.
+    sw_pc = np.ndim(sw) > 0
     raw: dict = {}
     c_ofs = 0
     for xq, sa in parts:
@@ -725,11 +728,11 @@ def int_conv_requant(x, w_q, b_q, *, sw: int, sb: int, sa_in, sa_out: int,
             padding=((padding, padding), (padding, padding)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32)
-        s = sw + sa - retune
-        raw[s] = p if s not in raw else raw[s] + p
+        k = sa if sw_pc else sw + sa - retune
+        raw[k] = p if k not in raw else raw[k] + p
     acc = None
-    for s, p in raw.items():
-        p = _shift(p, s, rounding, jnp)
+    for k, p in raw.items():
+        p = _shift(p, (sw + k - retune) if sw_pc else k, rounding, jnp)
         acc = p if acc is None else acc + p
     acc = acc + _shift(b_q.astype(jnp.int32), sb - retune, rounding, jnp)
     acc = jnp.clip(acc, INT16_MIN, INT16_MAX)

@@ -79,20 +79,28 @@ def _flat_tiny_params(fused) -> Dict[str, dict]:
 
 def quantize_tiny_yolo_v3(fused, tracker_states: List[dict],
                           pre_maxima: List[float],
-                          acc_bits: int = 16) -> Int8Tiny:
+                          acc_bits: int = 16,
+                          weight_bitwidth: int = None,
+                          per_channel: bool = False) -> Int8Tiny:
     """BN-fused tiny params + generic calibration -> integer model.
 
     tracker_states: call-ordered list from generic.calibrate_generic
     (index 0 = input). pre_maxima: per-conv max |pre-activation| from the
     calibration data (same order as TINY_CONV_ORDER).
+    weight_bitwidth/per_channel: fixed_point.quantize_model's weight
+    grid (sub-8-bit levels stay int8-compatible; per-channel sw is an
+    int32 [C_out] array served as a per-channel epilogue shift).
     """
     flat = jax.device_get(_flat_tiny_params(fused))  # one transfer
+    wb = weight_bitwidth or 8
+    w_axis = -1 if per_channel else None
     w_q, b_q, sw, sb, sa, retune = {}, {}, {}, {}, {}, {}
     sa["in"] = q.tracker_sa_np(tracker_states[0])
     limit = 2.0 ** (acc_bits - 1)
     for i, name in enumerate(TINY_CONV_ORDER):
         layer = flat[name]
-        wq, sw[name] = q.quantize_pow2_np(layer["w"])
+        wq, sw[name] = q.quantize_pow2_np(layer["w"], wb,
+                                          channel_axis=w_axis)
         bq, sb[name] = q.quantize_pow2_np(layer["b"])
         w_q[name] = np.clip(wq, fp.INT8_MIN, fp.INT8_MAX).astype(np.int8)
         b_q[name] = np.clip(bq, fp.INT8_MIN, fp.INT8_MAX).astype(np.int32)
@@ -166,12 +174,16 @@ def quantize_pipeline_tiny(params_fp32, cfg: DetectorConfig,
                            calib_batches, max_images: int = 1000,
                            head_clip: float = None, fold_bn: bool = True,
                            states=None,
-                           act_percentile: float = None) -> Int8Tiny:
+                           act_percentile: float = None,
+                           weight_bitwidth: int = None,
+                           per_channel: bool = False) -> Int8Tiny:
     """Full PTQ for tiny_yolo_v3: fold BN -> generic fake-quant +
     calibration -> accumulator headroom -> integer model. ``states``
     skips calibration (serve QAT's frozen scales); ``act_percentile``
     clips every conv tracker to the q-th percentile of |act|
-    (quant/autoclip.py searches the best value)."""
+    (quant/autoclip.py searches the best value);
+    ``weight_bitwidth``/``per_channel`` select the weight grid (the
+    calibration and headroom search run on the same grid)."""
     from yolo_tpu.models import tiny_yolo_v3
     from yolo_tpu.quant.bn_fold import fold_batch_norm
     from yolo_tpu.quant.generic import (
@@ -179,7 +191,9 @@ def quantize_pipeline_tiny(params_fp32, cfg: DetectorConfig,
 
     calib_batches = list(calib_batches)
     fused = fold_batch_norm(params_fp32) if fold_bn else params_fp32
-    params_q = fake_quantize_all_convs(fused)
+    params_q = fake_quantize_all_convs(fused,
+                                       weight_bitwidth=weight_bitwidth,
+                                       per_channel=per_channel)
     if states is None:
         states = calibrate_generic(tiny_yolo_v3, params_q, cfg,
                                    calib_batches, max_images=max_images,
@@ -197,7 +211,21 @@ def quantize_pipeline_tiny(params_fp32, cfg: DetectorConfig,
         pre = jax.device_get(maxima_step(jnp.asarray(x)))
         agg = pre if agg is None else [max(float(a), float(b))
                                        for a, b in zip(agg, pre)]
-    return quantize_tiny_yolo_v3(fused, states, agg)
+    return quantize_tiny_yolo_v3(fused, states, agg,
+                                 weight_bitwidth=weight_bitwidth,
+                                 per_channel=per_channel)
+
+
+def _check_per_channel_plain(sw, s2d_requested):
+    """Per-channel sw runs on the plain conv path only: the s2d entry
+    forms phase-pack C_out and would need tiled sw tables (same contract
+    as the slim engine's guard, fixed_point.int8_forward)."""
+    vals = sw.values() if isinstance(sw, dict) else sw
+    if s2d_requested and any(np.ndim(s) for s in vals):
+        raise ValueError(
+            "per-channel weight scales run on the plain conv path only "
+            "(the s2d entry forms phase-pack C_out); rebuild the detect "
+            "fn without input_s2d/s2d")
 
 
 def _jit_detect(body, mesh):
@@ -226,6 +254,8 @@ def make_int8_tiny_detect_fn(m: Int8Tiny, cfg: DetectorConfig,
     runs on device). With ``mesh`` the batch shards over 'data'."""
     from yolo_tpu import detector as D
     from yolo_tpu.ops import nms
+
+    _check_per_channel_plain(m.sw, input_s2d)
 
     class _Mod:
         STRIDES = (16, 32)
@@ -302,15 +332,21 @@ def _flat_v2_params(fused) -> Dict[str, dict]:
 
 def quantize_yolo_v2(fused, tracker_states: List[dict],
                      pre_maxima: List[float],
-                     acc_bits: int = 16) -> Int8YoloV2:
-    """BN-fused yolo_v2 params + generic calibration -> integer model."""
+                     acc_bits: int = 16,
+                     weight_bitwidth: int = None,
+                     per_channel: bool = False) -> Int8YoloV2:
+    """BN-fused yolo_v2 params + generic calibration -> integer model.
+    weight_bitwidth/per_channel: see quantize_tiny_yolo_v3."""
     flat = jax.device_get(_flat_v2_params(fused))  # one transfer
+    wb = weight_bitwidth or 8
+    w_axis = -1 if per_channel else None
     w_q, b_q, sw, sb, sa, retune = {}, {}, {}, {}, {}, {}
     sa["in"] = q.tracker_sa_np(tracker_states[0])
     limit = 2.0 ** (acc_bits - 1)
     for i, name in enumerate(V2_CONV_ORDER):
         layer = flat[name]
-        wq, sw[name] = q.quantize_pow2_np(layer["w"])
+        wq, sw[name] = q.quantize_pow2_np(layer["w"], wb,
+                                          channel_axis=w_axis)
         bq, sb[name] = q.quantize_pow2_np(layer["b"])
         w_q[name] = np.clip(wq, fp.INT8_MIN, fp.INT8_MAX).astype(np.int8)
         b_q[name] = np.clip(bq, fp.INT8_MIN, fp.INT8_MAX).astype(np.int32)
@@ -384,11 +420,14 @@ def quantize_pipeline_yolo_v2(params_fp32, cfg: DetectorConfig,
                               head_clip: float = None,
                               fold_bn: bool = True,
                               states=None,
-                              act_percentile: float = None) -> Int8YoloV2:
+                              act_percentile: float = None,
+                              weight_bitwidth: int = None,
+                              per_channel: bool = False) -> Int8YoloV2:
     """Full PTQ for yolo_v2: fold BN -> generic fake-quant + calibration
     -> accumulator headroom -> integer model. ``states`` skips
     calibration (serve QAT's frozen scales); ``act_percentile`` clips
-    every conv tracker to the q-th percentile of |act|."""
+    every conv tracker to the q-th percentile of |act|;
+    ``weight_bitwidth``/``per_channel`` select the weight grid."""
     from yolo_tpu.models import yolo_v2
     from yolo_tpu.quant.bn_fold import fold_batch_norm
     from yolo_tpu.quant.generic import (
@@ -396,7 +435,9 @@ def quantize_pipeline_yolo_v2(params_fp32, cfg: DetectorConfig,
 
     calib_batches = list(calib_batches)
     fused = fold_batch_norm(params_fp32) if fold_bn else params_fp32
-    params_q = fake_quantize_all_convs(fused)
+    params_q = fake_quantize_all_convs(fused,
+                                       weight_bitwidth=weight_bitwidth,
+                                       per_channel=per_channel)
     if states is None:
         states = calibrate_generic(yolo_v2, params_q, cfg, calib_batches,
                                    max_images=max_images,
@@ -414,7 +455,9 @@ def quantize_pipeline_yolo_v2(params_fp32, cfg: DetectorConfig,
         pre = jax.device_get(maxima_step(jnp.asarray(x)))
         agg = pre if agg is None else [max(float(a), float(b))
                                        for a, b in zip(agg, pre)]
-    return quantize_yolo_v2(fused, states, agg)
+    return quantize_yolo_v2(fused, states, agg,
+                            weight_bitwidth=weight_bitwidth,
+                            per_channel=per_channel)
 
 
 def make_int8_yolo_v2_detect_fn(m: Int8YoloV2, cfg: DetectorConfig,
@@ -428,6 +471,8 @@ def make_int8_yolo_v2_detect_fn(m: Int8YoloV2, cfg: DetectorConfig,
     With ``mesh`` the batch shards over 'data'."""
     from yolo_tpu import detector as D
     from yolo_tpu.ops import nms
+
+    _check_per_channel_plain(m.sw, input_s2d)
 
     class _Mod:
         STRIDES = (32,)

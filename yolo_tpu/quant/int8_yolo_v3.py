@@ -113,11 +113,18 @@ class Int8YoloV3:
 
 def quantize_yolo_v3(fused, tracker_states: List[dict],
                      pre_maxima: List[float], spp: bool = False,
-                     acc_bits: int = 16) -> Int8YoloV3:
+                     acc_bits: int = 16,
+                     weight_bitwidth: int = None,
+                     per_channel: bool = False) -> Int8YoloV3:
     """BN-fused yolo_v3(-spp) params + generic calibration -> integer
-    model. tracker_states index 0 is the input tap."""
+    model. tracker_states index 0 is the input tap.
+    weight_bitwidth/per_channel: fixed_point.quantize_model's weight
+    grid (per-channel sw is an int32 [C_out] array; plain conv path
+    only — see make_int8_yolo_v3_detect_fn)."""
     program = _program(spp)
     fused = jax.device_get(fused)  # one transfer; numpy math below
+    wb = weight_bitwidth or 8
+    w_axis = -1 if per_channel else None
     w_q, b_q, sw, sb, retune = [], [], [], [], []
     limit = 2.0 ** (acc_bits - 1)
     conv_i = 0
@@ -125,7 +132,7 @@ def quantize_yolo_v3(fused, tracker_states: List[dict],
         if op[0] != "conv":
             continue
         layer = _get_path(fused, op[1])
-        wq, ws = q.quantize_pow2_np(layer["w"])
+        wq, ws = q.quantize_pow2_np(layer["w"], wb, channel_axis=w_axis)
         bq, bs = q.quantize_pow2_np(layer["b"])
         w_q.append(np.clip(wq, fp.INT8_MIN, fp.INT8_MAX).astype(np.int8))
         b_q.append(np.clip(bq, fp.INT8_MIN, fp.INT8_MAX).astype(np.int32))
@@ -304,7 +311,9 @@ def quantize_pipeline_yolo_v3(params_fp32, cfg: DetectorConfig,
                               head_clip: float = None,
                               fold_bn: bool = True,
                               states=None,
-                              act_percentile: float = None
+                              act_percentile: float = None,
+                              weight_bitwidth: int = None,
+                              per_channel: bool = False
                               ) -> Int8YoloV3:
     """Full PTQ for yolo_v3(-spp): fold BN -> generic calibration ->
     headroom -> integer model.
@@ -322,7 +331,9 @@ def quantize_pipeline_yolo_v3(params_fp32, cfg: DetectorConfig,
     module = v3spp if spp else v3
     calib_batches = list(calib_batches)
     fused = fold_batch_norm(params_fp32) if fold_bn else params_fp32
-    params_q = fake_quantize_all_convs(fused)
+    params_q = fake_quantize_all_convs(fused,
+                                       weight_bitwidth=weight_bitwidth,
+                                       per_channel=per_channel)
     if states is None:
         states = calibrate_generic(module, params_q, cfg, calib_batches,
                                    max_images=max_images,
@@ -339,7 +350,9 @@ def quantize_pipeline_yolo_v3(params_fp32, cfg: DetectorConfig,
         pre = jax.device_get(maxima_step(jnp.asarray(x)))
         agg = pre if agg is None else [max(float(a), float(b))
                                        for a, b in zip(agg, pre)]
-    return quantize_yolo_v3(fused, states, agg, spp=spp)
+    return quantize_yolo_v3(fused, states, agg, spp=spp,
+                            weight_bitwidth=weight_bitwidth,
+                            per_channel=per_channel)
 
 
 def make_int8_yolo_v3_detect_fn(m: Int8YoloV3, cfg: DetectorConfig,
@@ -356,6 +369,15 @@ def make_int8_yolo_v3_detect_fn(m: Int8YoloV3, cfg: DetectorConfig,
     from yolo_tpu import detector as D
     from yolo_tpu.ops import nms
     from yolo_tpu.quant.int8_models import _jit_detect
+
+    if any(np.ndim(s) for s in m.sw):
+        # per-channel sw: the s2d entry/stride2 forms phase-pack C_out
+        # and would need tiled sw tables — serve on the plain conv path
+        if input_s2d:
+            raise ValueError(
+                "per-channel weight scales run on the plain conv path "
+                "only; rebuild the detect fn without input_s2d")
+        s2d = False
 
     class _Mod:
         STRIDES = (8, 16, 32)
