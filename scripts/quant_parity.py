@@ -60,7 +60,7 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
          ckpt: str = None,
          skip_train: bool = False, n_boot: int = 300,
          hard: bool = False, train_images: int = 128,
-         greedy: int = 0, lr: float = None):
+         greedy: int = 0, lr: float = None, train_only: bool = False):
     from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
     if ckpt is None:
@@ -102,6 +102,13 @@ def main(epochs: int = 150, size: int = 64, batch: int = 16,
         params, metrics = train_device_resident(det, cfg, tc, train_ds,
                                                 batch, params)
         save_checkpoint(ckpt, params)
+
+    if train_only:
+        # produce only the deterministic checkpoint (for e.g.
+        # quant_bitwidth.py on a machine whose /tmp was wiped) without
+        # re-running the multi-minute PTQ/QAT stage evals
+        print(f"train_only: checkpoint at {ckpt}")
+        return {}
 
     results = {}
     raw = {}  # stage -> (dets, gts) for the paired bootstrap
@@ -333,8 +340,12 @@ if __name__ == "__main__":
                         "PTQ config search (each round ~n_trackers "
                         "engine rebuilds)")
     p.add_argument("--skip_train", action="store_true", default=False)
+    p.add_argument("--train_only", action="store_true", default=False,
+                   help="train + save the deterministic checkpoint and "
+                        "exit (skip every quantization stage)")
     a = p.parse_args()
     main(epochs=a.epochs, size=a.size, batch=a.batch, val_images=a.val,
          qat_steps=a.qat_steps, qat_lr=a.qat_lr, n_boot=a.n_boot,
          skip_train=a.skip_train, hard=a.hard,
-         train_images=a.train_images, greedy=a.greedy, lr=a.lr)
+         train_images=a.train_images, greedy=a.greedy, lr=a.lr,
+         train_only=a.train_only)
